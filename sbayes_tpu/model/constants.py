@@ -1,0 +1,305 @@
+"""Static per-model constants: everything the jitted kernels close over.
+
+This replaces the reference's Prior/Likelihood object hierarchy state
+(sbayes/model/prior.py concentration parsing, sbayes/model/model.py shapes)
+with one frozen bundle of device arrays + Python scalars. Prior
+concentrations are parsed host-side from the same YAML/JSON formats.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional
+
+import numpy as np
+import yaml
+from numpy.typing import NDArray
+
+from sbayes_tpu.config.schema import (
+    ClusterSizePriorConfig,
+    DirichletPriorConfig,
+    GeoPriorConfig,
+    ModelConfig,
+)
+from sbayes_tpu.data.loader import Data
+from sbayes_tpu.model.shapes import ModelShapes
+from sbayes_tpu.utils import FLOAT_TYPE
+
+PriorTypes = DirichletPriorConfig.Types
+
+
+def _symmetric_concentration(applicable: NDArray, c: float) -> NDArray:
+    """(F, S) array with value c on applicable states, 0 elsewhere."""
+    return np.where(applicable, c, 0.0).astype(FLOAT_TYPE)
+
+
+def _oneovern_concentration(applicable: NDArray) -> NDArray:
+    n_states_f = applicable.sum(-1, keepdims=True)
+    return np.where(applicable, 1.0 / n_states_f, 0.0).astype(FLOAT_TYPE)
+
+
+def _load_concentration_dict(path: Path) -> dict:
+    with open(path, "r") as f:
+        if Path(path).suffix.lower() in (".yaml", ".yml"):
+            return yaml.safe_load(f)
+        return json.load(f)
+
+
+def _concentration_from_dict(
+    concentration_dict: dict,
+    feature_names,
+    state_names,
+    applicable: NDArray,
+    initial_counts: float = 1.0,
+) -> NDArray:
+    """Parse {feature: {state: count}} into a padded (F, S) array.
+
+    Adds ``initial_counts`` to every given count (reference behavior:
+    sbayes/model/prior.py:210-222).
+    """
+    n_features, n_states = applicable.shape
+    conc = np.zeros((n_features, n_states), dtype=FLOAT_TYPE)
+    for i_f, f in enumerate(feature_names):
+        states_f = state_names[i_f]
+        for i_s, s in enumerate(states_f):
+            conc[i_f, i_s] = initial_counts + concentration_dict[f][s]
+    return conc
+
+
+def parse_dirichlet_concentration(
+    cfg: DirichletPriorConfig,
+    feature_names,
+    state_names,
+    applicable: NDArray,
+    initial_counts: float = 1.0,
+) -> NDArray:
+    """Concentration array (F, S) for one Dirichlet prior config section."""
+    t = cfg.type
+    if t is PriorTypes.UNIFORM:
+        return _symmetric_concentration(applicable, 1.0)
+    if t is PriorTypes.JEFFREYS:
+        return _symmetric_concentration(applicable, 0.5)
+    if t is PriorTypes.BBS:
+        return _oneovern_concentration(applicable)
+    if t is PriorTypes.SYMMETRIC_DIRICHLET:
+        return _symmetric_concentration(applicable, cfg.prior_concentration)
+    if t is PriorTypes.DIRICHLET:
+        if cfg.file is not None:
+            d = _load_concentration_dict(cfg.file)
+        else:
+            d = cfg.parameters
+        return _concentration_from_dict(d, feature_names, state_names, applicable, initial_counts)
+    raise ValueError(f"Unsupported Dirichlet prior type {t}")
+
+
+@dataclass(frozen=True)
+class GeoPriorConstants:
+    prior_type: str                 # uniform | cost_based | simulated
+    aggregation: str                # mean | sum | max
+    probability_function: str       # exponential | sigmoid
+    skeleton: str                   # mst | delaunay | diameter | complete_graph
+    scale: Optional[float]          # rate
+    inflection_point: Optional[float]
+    mean_edge_length: float         # for 'simulated'
+
+
+@dataclass(frozen=True)
+class ModelConstants:
+    """All static inputs of the jitted posterior/operator kernels."""
+
+    shapes: ModelShapes
+
+    # Data tensors (numpy here; moved to device lazily by JAX on first use)
+    features: Any                   # f32 (N, F, S)
+    na: Any                         # bool (N, F)
+    applicable: Any                 # bool (F, S)
+    n_states_per_feature: Any       # f32 (F,)
+
+    # Confounders, padded to Gmax groups per component
+    conf_names: tuple               # names of confounders, order = component 1..C-1
+    group_names: dict               # conf -> list of group names
+    groups: Any                     # f32 (C-1, Gmax, N)
+    group_valid: Any                # bool (C-1, Gmax)
+    n_groups: Any                   # int (C-1,)
+    hc_conf: Any                    # bool (N, C-1)  has_components for confounders
+
+    # Prior concentrations
+    conc_cluster: Any               # f32 (F, S)
+    unif_conc: Any                  # f32 (F, S)
+    conc_conf: Any                  # f32 (C-1, Gmax, F, S)
+    conc_weights: Any               # f32 (F, C)
+    weights_prior_uniform: bool
+
+    # Geo prior
+    geo: GeoPriorConstants
+    cost_matrix: Any                # f32 (N, N)
+    adjacency: Any                  # bool (N, N)
+    locations: Any                  # f32 (N, 2)
+
+    # Size prior
+    size_prior_type: str
+    min_size: int
+    max_size: int
+
+    # misc
+    dtype: Any = np.float32
+
+    @property
+    def K(self):
+        return self.shapes.n_clusters
+
+    @property
+    def N(self):
+        return self.shapes.n_sites
+
+    @property
+    def F(self):
+        return self.shapes.n_features
+
+    @property
+    def S(self):
+        return self.shapes.n_states
+
+    @property
+    def C(self):
+        return self.shapes.n_components
+
+    @property
+    def Gmax(self):
+        return int(self.groups.shape[1])
+
+
+def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[int] = None) -> ModelConstants:
+    """Assemble ModelConstants from loaded data and a model config."""
+    features = data.features
+    confounders = data.confounders
+    K = int(n_clusters if n_clusters is not None else config.clusters)
+    if not isinstance(K, int):
+        raise ValueError("build_model_constants needs a single integer cluster count")
+
+    N, F, S = features.values.shape
+    conf_names = tuple(confounders.keys())
+    n_conf = len(conf_names)
+
+    shapes = ModelShapes(
+        n_clusters=K,
+        n_sites=N,
+        n_features=F,
+        n_states=S,
+        states_per_feature=features.states,
+        n_confounders=n_conf,
+        n_groups={name: conf.n_groups for name, conf in confounders.items()},
+    )
+
+    applicable = features.states.astype(bool)
+    unif_conc = _symmetric_concentration(applicable, 1.0)
+    feature_names = list(features.names)
+    state_names = features.state_names
+
+    # --- cluster effect prior (reference: prior.py:438-487) ---
+    ce_cfg = config.prior.cluster_effect
+    if ce_cfg.type is PriorTypes.DIRICHLET:
+        raise ValueError("Prior type `dirichlet` is not supported for the cluster effect.")
+    conc_cluster = parse_dirichlet_concentration(ce_cfg, feature_names, state_names, applicable)
+
+    # --- confounding effect priors, padded (reference: prior.py:282-323) ---
+    Gmax = max((conf.n_groups for conf in confounders.values()), default=1)
+    Gmax = max(Gmax, 1)
+    groups = np.zeros((n_conf, Gmax, N), dtype=FLOAT_TYPE)
+    group_valid = np.zeros((n_conf, Gmax), dtype=bool)
+    conc_conf = np.tile(unif_conc[None, None], (max(n_conf, 1), Gmax, 1, 1)).astype(FLOAT_TYPE)
+    n_groups_arr = np.zeros(n_conf, dtype=np.int32)
+    group_names: dict = {}
+
+    for i_c, conf_name in enumerate(conf_names):
+        conf = confounders[conf_name]
+        prior_cfg_by_group = config.prior.confounding_effects[conf_name]
+        default_cfg = prior_cfg_by_group.get("<DEFAULT>", None)
+        group_names[conf_name] = list(conf.group_names)
+        n_groups_arr[i_c] = conf.n_groups
+        for i_g, g_name in enumerate(conf.group_names):
+            groups[i_c, i_g] = conf.group_assignment[i_g].astype(FLOAT_TYPE)
+            group_valid[i_c, i_g] = True
+            cfg_g = prior_cfg_by_group.get(g_name, default_cfg)
+            if cfg_g is None:
+                from sbayes_tpu.config.schema import ConfoundingEffectPriorConfig
+
+                cfg_g = ConfoundingEffectPriorConfig()
+            conc_conf[i_c, i_g] = parse_dirichlet_concentration(
+                cfg_g, feature_names, state_names, applicable
+            )
+
+    hc_conf = groups.sum(axis=1).T > 0  # (N, C-1)
+
+    # --- weights prior (reference: prior.py:490-565) ---
+    C = n_conf + 1
+    w_cfg = config.prior.weights
+    if w_cfg.type is PriorTypes.UNIFORM:
+        conc_weights = np.full((F, C), 1.0, dtype=FLOAT_TYPE)
+        weights_prior_uniform = True
+    elif w_cfg.type is PriorTypes.JEFFREYS:
+        conc_weights = np.full((F, C), 0.5, dtype=FLOAT_TYPE)
+        weights_prior_uniform = False
+    elif w_cfg.type is PriorTypes.BBS:
+        conc_weights = np.full((F, C), 1.0 / C, dtype=FLOAT_TYPE)
+        weights_prior_uniform = False
+    elif w_cfg.type is PriorTypes.SYMMETRIC_DIRICHLET:
+        conc_weights = np.full((F, C), w_cfg.prior_concentration, dtype=FLOAT_TYPE)
+        weights_prior_uniform = False
+    else:
+        raise ValueError(f"Unsupported weights prior type {w_cfg.type}")
+
+    # --- geo prior (reference: prior.py:705-872) ---
+    geo_cfg = config.prior.geo
+    cost_matrix = np.asarray(data.geo_cost_matrix, dtype=FLOAT_TYPE)
+    mean_edge_length = 1.0
+    if geo_cfg.type is GeoPriorConfig.Types.SIMULATED:
+        from scipy.sparse.csgraph import minimum_spanning_tree
+
+        mst = minimum_spanning_tree(np.asarray(data.network.dist_mat, dtype=float))
+        edges = mst.tocsr()[mst.nonzero()]
+        mean_edge_length = float(np.mean(edges)) if edges.size else 1.0
+
+    geo = GeoPriorConstants(
+        prior_type=geo_cfg.type.value,
+        aggregation=geo_cfg.aggregation.value,
+        probability_function=geo_cfg.probability_function.value,
+        skeleton=geo_cfg.skeleton.value,
+        scale=geo_cfg.rate,
+        inflection_point=geo_cfg.inflection_point,
+        mean_edge_length=mean_edge_length,
+    )
+
+    adjacency = np.asarray(data.network.adj_mat.todense()).astype(bool)
+    np.fill_diagonal(adjacency, False)
+
+    # --- size prior ---
+    sp_cfg = config.prior.objects_per_cluster
+    size_prior_type = sp_cfg.type.value
+
+    return ModelConstants(
+        shapes=shapes,
+        features=features.values.astype(FLOAT_TYPE),
+        na=features.na_values.astype(bool),
+        applicable=applicable,
+        n_states_per_feature=applicable.sum(-1).astype(FLOAT_TYPE),
+        conf_names=conf_names,
+        group_names=group_names,
+        groups=groups,
+        group_valid=group_valid,
+        n_groups=n_groups_arr,
+        hc_conf=hc_conf,
+        conc_cluster=conc_cluster,
+        unif_conc=unif_conc,
+        conc_conf=conc_conf,
+        conc_weights=conc_weights,
+        weights_prior_uniform=weights_prior_uniform,
+        geo=geo,
+        cost_matrix=cost_matrix,
+        adjacency=adjacency,
+        locations=np.asarray(data.objects.locations, dtype=FLOAT_TYPE),
+        size_prior_type=size_prior_type,
+        min_size=int(sp_cfg.min),
+        max_size=int(min(sp_cfg.max, N)),
+    )

@@ -1,0 +1,163 @@
+"""Device-side (JAX) math kernels of the collapsed mixture model.
+
+These are the TPU-native equivalents of the reference's three Numba kernels
+and its NumPy likelihood math (reference: sbayes/util.py:1373-1394
+``dirichlet_categorical_logpdf``, sbayes/model/likelihood.py:104-199
+``compute_component_likelihood``/``normalize_weights``,
+sbayes/sampling/counts.py:10-52 sufficient-statistic counts).
+
+Design: everything is a fused full-recompute over static shapes. The
+sufficient-statistic counts are einsums that XLA lowers onto the MXU; the
+Dirichlet-categorical compound log-pdf is a masked lgamma reduction fused
+into the same program. There is no incremental caching — a single step
+recomputes the entire posterior, which on TPU is faster than bookkeeping.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+
+def normalize(x, axis=-1):
+    """Normalize so the given axis sums to 1."""
+    return x / jnp.sum(x, axis=axis, keepdims=True)
+
+
+def dirichlet_categorical_logpdf(counts, a):
+    """Collapsed (marginalized) categorical log-likelihood per feature.
+
+    log P(counts | a) for the Dirichlet-categorical compound distribution
+    WITHOUT the multinomial coefficient (observations are ordered, matching
+    the reference: sbayes/util.py:1373-1394).
+
+    Args:
+        counts: (..., n_features, n_states) state counts.
+        a: (..., n_features, n_states) Dirichlet concentrations; entries <= 0
+           mark non-applicable states and are excluded.
+    Returns:
+        (..., n_features) log-probabilities.
+    """
+    n = counts.sum(-1)
+    sum_a = a.sum(-1)
+    const = gammaln(sum_a) - gammaln(n + sum_a)
+    series = jnp.where(a > 0, gammaln(counts + a) - gammaln(a), 0.0).sum(-1)
+    return const + series
+
+
+def dirichlet_logpdf(x, alpha, where=None):
+    """Dirichlet log-density over the last axis.
+
+    Args:
+        x: (..., n) probability vectors.
+        alpha: (..., n) concentrations; non-applicable entries must have
+            alpha <= 0 AND be excluded via `where`.
+        where: optional bool mask of applicable entries.
+    """
+    if where is None:
+        where = jnp.ones_like(x, dtype=bool)
+    lognorm = jnp.where(where, gammaln(alpha), 0.0).sum(-1) - gammaln(
+        jnp.where(where, alpha, 0.0).sum(-1)
+    )
+    kernel = jnp.where(where, (alpha - 1) * jnp.log(jnp.where(where, x, 1.0)), 0.0).sum(-1)
+    return kernel - lognorm
+
+
+def compute_feature_counts(clusters, source, features, conf_groups):
+    """Sufficient-statistic counts for all mixture components, fully fused.
+
+    The TPU equivalent of the incremental counts machinery
+    (reference: sbayes/sampling/counts.py:10-95 and state.py FeatureCounts):
+    one full recompute as MXU-friendly contractions.
+
+    Args:
+        clusters: (K, N) cluster membership (bool or float).
+        source: (N, F, C) one-hot component attribution of each observation.
+        features: (N, F, S) one-hot observations (float).
+        conf_groups: (C-1, Gmax, N) padded static confounder group masks (float).
+    Returns:
+        cluster_counts: (K, F, S)
+        conf_counts: (C-1, Gmax, F, S)
+    """
+    dtype = features.dtype
+    src0 = source[:, :, 0].astype(dtype)
+    fx0 = features * src0[:, :, None]
+    cluster_counts = jnp.einsum("kn,nfs->kfs", clusters.astype(dtype), fx0)
+
+    srcc = source[:, :, 1:].astype(dtype)
+    conf_counts = jnp.einsum("cgn,nfc,nfs->cgfs", conf_groups, srcc, features)
+    return cluster_counts, conf_counts
+
+
+def normalize_weights(weights, has_components):
+    """Per-object renormalized mixture weights.
+
+    Objects only receive weight on components that are available to them
+    (reference: sbayes/model/likelihood.py:171-190).
+
+    Args:
+        weights: (F, C).
+        has_components: (N, C) availability indicator.
+    Returns:
+        (N, F, C) normalized weights.
+    """
+    w = weights[None, :, :] * has_components[:, None, :].astype(weights.dtype)
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+def conditional_effect_mean(prior_counts, feature_counts, unif_counts=None,
+                            prior_temperature=None, temperature=None):
+    """Posterior-mean categorical effect given counts (collapsed conditional).
+
+    Mirrors reference sbayes/sampling/conditionals.py:105-122 including the
+    MC3 heating of prior and likelihood counts.
+    """
+    if prior_temperature is not None:
+        prior_counts = unif_counts + (prior_counts - unif_counts) / prior_temperature
+    if temperature is not None:
+        feature_counts = feature_counts / temperature
+    return normalize(feature_counts + prior_counts, axis=-1)
+
+
+def heat_binary_probability_logits(logit, temperature):
+    """sigmoid(logit/T): binary-probability heating in logit space.
+
+    Equivalent to p**(1/T) / (p**(1/T) + (1-p)**(1/T)) for p = sigmoid(logit)
+    (reference: sbayes/util.py:1457-1469), but numerically stable.
+    """
+    return jax.nn.sigmoid(logit / temperature)
+
+
+def log_expit(x):
+    return jax.nn.log_sigmoid(x)
+
+
+def gammaln_jax(x):
+    return gammaln(x)
+
+
+def log_multinom(n, ks, max_n: int):
+    """log of the multinomial coefficient (n choose k1,k2,...), jittable.
+
+    Uses lgamma of integer arguments; ``max_n`` only documents the intended
+    range. Reference behavior: sbayes/util.py:1125-1173.
+    """
+    ks = jnp.asarray(ks)
+    rest = n - ks.sum()
+    return gammaln(n + 1.0) - gammaln(ks + 1.0).sum() - gammaln(rest + 1.0)
+
+
+def sample_categorical_onehot(key, p):
+    """Sample one-hot draws from (multidimensional) categorical probabilities.
+
+    Device-side equivalent of reference sbayes/preprocessing.py:224-256.
+
+    Args:
+        key: PRNG key.
+        p: (..., n_states) probabilities (need not be normalized).
+    Returns:
+        bool (..., n_states) one-hot samples.
+    """
+    logits = jnp.log(jnp.maximum(p, 1e-35))
+    idx = jax.random.categorical(key, logits, axis=-1)
+    return jax.nn.one_hot(idx, p.shape[-1], dtype=bool)

@@ -1,0 +1,72 @@
+"""The MCMC chain state: a flat PyTree.
+
+This replaces the reference's versioned copy-on-write ``Sample`` +
+``ModelCache`` dependency DAG (sbayes/sampling/state.py, 639 LoC) with a
+plain immutable NamedTuple. There is no cache: the posterior is fully
+recomputed each step (one fused kernel), so functional updates are free and
+no coherence machinery is needed.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from sbayes_tpu.model.constants import ModelConstants
+
+
+class ChainState(NamedTuple):
+    """State of one MCMC chain. All leaves are arrays (vmappable)."""
+
+    clusters: jnp.ndarray    # bool (K, N) cluster memberships
+    weights: jnp.ndarray     # f32 (F, C) mixture weights per feature
+    source: jnp.ndarray      # bool (N, F, C) one-hot component attribution
+    log_lh: jnp.ndarray      # f32 () current log-likelihood (unheated)
+    log_prior: jnp.ndarray   # f32 () current log-prior (unheated)
+
+    @property
+    def n_clusters(self):
+        return self.clusters.shape[-2]
+
+    @property
+    def n_objects(self):
+        return self.clusters.shape[-1]
+
+    @property
+    def n_features(self):
+        return self.weights.shape[-2]
+
+    @property
+    def n_components(self):
+        return self.weights.shape[-1]
+
+    def to_numpy(self) -> dict:
+        return {
+            "clusters": np.asarray(self.clusters),
+            "weights": np.asarray(self.weights),
+            "source": np.asarray(self.source),
+            "log_lh": float(self.log_lh),
+            "log_prior": float(self.log_prior),
+        }
+
+    @classmethod
+    def from_numpy(cls, d: dict) -> "ChainState":
+        return cls(
+            clusters=jnp.asarray(d["clusters"], dtype=bool),
+            weights=jnp.asarray(d["weights"], dtype=jnp.float32),
+            source=jnp.asarray(d["source"], dtype=bool),
+            log_lh=jnp.asarray(d.get("log_lh", -np.inf), dtype=jnp.float32),
+            log_prior=jnp.asarray(d.get("log_prior", -np.inf), dtype=jnp.float32),
+        )
+
+
+def empty_state(consts: ModelConstants) -> ChainState:
+    """An all-empty state with the right shapes (placeholder values)."""
+    return ChainState(
+        clusters=jnp.zeros((consts.K, consts.N), dtype=bool),
+        weights=jnp.full((consts.F, consts.C), 1.0 / consts.C, dtype=jnp.float32),
+        source=jnp.zeros((consts.N, consts.F, consts.C), dtype=bool),
+        log_lh=jnp.asarray(-jnp.inf, dtype=jnp.float32),
+        log_prior=jnp.asarray(-jnp.inf, dtype=jnp.float32),
+    )
