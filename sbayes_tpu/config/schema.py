@@ -182,7 +182,7 @@ class DirichletPriorConfig(BaseConfig):
     file: Optional[RelativeFilePath] = None
     """Path to Dirichlet parameters (YAML or JSON). This or `parameters` required if dirichlet."""
 
-    parameters: Optional[dict] = None
+    parameters: Optional[Dict] = None
     """Inline Dirichlet parameters. This or `file` required if type=dirichlet."""
 
     prior_concentration: Optional[float] = None

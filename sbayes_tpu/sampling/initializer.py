@@ -1,0 +1,206 @@
+"""Initial-sample generation: annealed EM soft clustering + refinement.
+
+Behavioral counterpart of the reference's ``SbayesInitializer``
+(sbayes/sampling/initializers.py:31-320):
+  1. annealed EM over clusters + confounder groups (optionally geo-aware),
+  2. discretization with a per-cluster min-size guarantee and a
+     truncated-normal total size,
+  3. prior source draw -> full Gibbs source step,
+  4. two rounds of deterministic ML cluster steps with a weight
+     re-estimation in between,
+  5. best-of-``attempts`` by likelihood.
+
+Everything is jittable; attempts can be vmapped.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import ndtr, ndtri
+
+from sbayes_tpu.model.math import normalize, sample_categorical_onehot, normalize_weights
+from sbayes_tpu.sampling.conditionals import Conditionals
+from sbayes_tpu.sampling.operators import OperatorFactory
+from sbayes_tpu.sampling.state import ChainState
+
+
+def _truncnorm_sample(key, mid, lower, upper, scale):
+    """Truncated normal draw via inverse-CDF (matches scipy.stats.truncnorm)."""
+    a = (lower - mid) / scale
+    b = (upper - mid) / scale
+    u = jax.random.uniform(key, (), minval=ndtr(a), maxval=ndtr(b))
+    return mid + scale * ndtri(u)
+
+
+class Initializer:
+    def __init__(
+        self,
+        cond: Conditionals,
+        initial_size: int,
+        attempts: int,
+        initial_cluster_steps: bool = True,
+        n_em_steps: int = 50,
+    ):
+        self.cond = cond
+        self.consts = cond.consts
+        self.initial_size = int(initial_size)
+        self.attempts = int(attempts)
+        self.initial_cluster_steps = bool(initial_cluster_steps)
+        self.n_em_steps = int(n_em_steps)
+
+        self.factory = OperatorFactory(cond)
+        self.full_source_op = self.factory.make_gibbs_sample_source("all", max_size=10**9)
+        self.ml_step = self.factory.make_ml_cluster_step(consider_geo=True)
+
+        # Static group-availability rows: K cluster rows (everywhere) + the
+        # actual confounder groups.
+        import numpy as np
+
+        c = self.consts
+        rows = [np.ones((c.K, c.N), bool)]
+        for i_c in range(len(c.conf_names)):
+            ng = int(c.n_groups[i_c])
+            rows.append(np.asarray(c.groups[i_c, :ng] > 0))
+        self.groups_available = np.concatenate(rows, axis=0)  # (G_all, N)
+        self.n_em_groups = self.groups_available.shape[0]
+
+    # ------------------------------------------------------------------
+
+    def generate_clusters_em(self, key):
+        """Annealed EM soft clustering (reference: initializers.py:93-169)."""
+        c = self.consts
+        feats = jnp.asarray(c.features)
+        valid = ~jnp.asarray(c.na)
+        N, K = c.N, c.K
+        G = self.n_em_groups
+        avail = jnp.asarray(self.groups_available)
+
+        k_size, k_z = jax.random.split(key)
+        total_size = _truncnorm_sample(
+            k_size,
+            mid=float(K * self.initial_size),
+            lower=float(K * c.min_size),
+            upper=float(min(N, K * c.max_size)),
+            scale=float(max(20.0, K * self.initial_size - K * c.min_size)),
+        )
+        total_size = jnp.clip(jnp.round(total_size).astype(jnp.int32), K * c.min_size, N)
+
+        prior_counts = 0.5 * jnp.asarray(c.applicable, feats.dtype)
+        z0 = jax.random.uniform(k_z, (G, N)) * avail
+        z0 = z0 / jnp.maximum(z0.sum(0, keepdims=True), 1e-35)
+
+        # NA observations count as "any state" in the EM likelihood
+        feats_filled = jnp.where(valid[:, :, None], feats, 1.0)
+
+        geo_on = c.geo.prior_type == "cost_based"
+        cost = jnp.asarray(c.cost_matrix)
+
+        def em_step(i_step, z):
+            state_counts = jnp.einsum("gn,nfs->gfs", z, feats)
+            p = normalize(state_counts + prior_counts, axis=-1)
+            pointwise_ll = jnp.log(
+                jnp.maximum(jnp.einsum("gfs,nfs->gnf", p, feats_filled), 1e-35)
+            )
+            group_lls = pointwise_ll.sum(-1)  # (G, N)
+
+            if geo_on:
+                z_peaky = jax.nn.softmax(N * z, axis=1)
+                avg_dist = z_peaky @ cost
+                log_geo = -avg_dist / c.geo.scale / 2.0
+                mean_cluster_geo = jax.scipy.special.logsumexp(log_geo[:K]) - jnp.log(
+                    float(log_geo[:K].size)
+                )
+                log_geo = log_geo.at[K:].set(mean_cluster_geo)
+            else:
+                log_geo = 0.0
+
+            temperature = (self.n_em_steps / (1.0 + i_step)) ** 3
+            lh = log_geo + group_lls / temperature
+            lh = jnp.where(avail, lh, -jnp.inf)
+            return jax.nn.softmax(lh, axis=0)
+
+        z = lax.fori_loop(0, self.n_em_steps, em_step, z0)
+        return self._discretize_fuzzy_clusters(z, total_size)
+
+    def _discretize_fuzzy_clusters(self, z, total_size):
+        """Discretize soft assignments with a min-size guarantee
+        (reference: initializers.py:186-209)."""
+        c = self.consts
+        K, N = c.K, c.N
+        fuzzy = z[:K]
+
+        # Guarantee min_size top objects for each cluster in turn
+        for i_c in range(K):
+            _, best_ids = lax.top_k(fuzzy[i_c], c.min_size)
+            col_mask = jnp.zeros(N, bool).at[best_ids].set(True)
+            fuzzy = jnp.where(col_mask[None, :], 0.0, fuzzy)
+            fuzzy = fuzzy.at[i_c].set(jnp.where(col_mask, 1.0, fuzzy[i_c]))
+
+        best = jnp.argmax(fuzzy, axis=0)
+        best_value = jnp.max(fuzzy, axis=0)
+        sorted_vals = jnp.sort(best_value)
+        threshold = sorted_vals[jnp.maximum(N - total_size, 0)]
+        best = jnp.where(best_value < threshold, K, best)
+        clusters = jax.nn.one_hot(best, K + 1, dtype=bool).T  # (K+1, N)
+        return clusters[:K]
+
+    # ------------------------------------------------------------------
+
+    def generate_sample_attempt(self, key) -> ChainState:
+        c = self.consts
+        cond = self.cond
+        na = jnp.asarray(c.na)
+        keys = jax.random.split(key, 8)
+
+        clusters = self.generate_clusters_em(keys[0])
+        weights = jnp.full((c.F, c.C), 1.0 / c.C, jnp.float32)
+
+        # Source from prior
+        hc = cond.post.has_components(clusters)
+        w_normed = normalize_weights(weights, hc)
+        source = sample_categorical_onehot(keys[1], w_normed) & ~na[:, :, None]
+
+        state = ChainState(
+            clusters=clusters,
+            weights=weights,
+            source=source,
+            log_lh=jnp.float32(-jnp.inf),
+            log_prior=jnp.float32(-jnp.inf),
+        )
+
+        # One full Gibbs source step
+        state = self.full_source_op(keys[2], state).state
+
+        if self.initial_cluster_steps:
+            # ML cluster steps per cluster
+            for i_c in range(c.K):
+                state = self.ml_step(jax.random.fold_in(keys[3], i_c), state, i_c)
+
+            # Re-estimate weights from source ratios (initializers.py:299-305)
+            hc = cond.post.has_components(state.clusters).astype(jnp.float32)
+            s_ratio = state.source.sum(0) / jnp.maximum(hc.sum(0, keepdims=True), 1e-35)
+            state = state._replace(weights=normalize(1.0 + s_ratio, axis=-1))
+
+            # Another full source draw and cluster refinement round
+            state = self.full_source_op(keys[4], state).state
+            for i_c in range(c.K):
+                state = self.ml_step(jax.random.fold_in(keys[5], i_c), state, i_c)
+
+        return state
+
+    def generate_sample(self, key) -> ChainState:
+        """Best-of-``attempts`` initial sample by likelihood
+        (reference: initializers.py:211-238). Attempts are vmapped."""
+        keys = jax.random.split(key, self.attempts)
+
+        def one(k):
+            state = self.generate_sample_attempt(k)
+            lh = self.cond.post.log_likelihood(state)
+            return state, lh
+
+        states, lhs = jax.vmap(one)(keys)
+        best = jnp.argmax(lhs)
+        return jax.tree.map(lambda x: x[best], states)

@@ -1,0 +1,728 @@
+"""The MCMC operator suite as pure jittable transition functions.
+
+Every operator has the signature ``op(key, state) -> OpResult`` and is a
+branch of one ``lax.switch`` inside the step kernel. Sentinel transition
+probabilities force acceptance (Gibbs: log_q = -inf, log_q_back = 0) or
+rejection (log_q = 0, log_q_back = -inf), consumed by the MH kernel —
+reference semantics: sbayes/sampling/operators.py:241-247, mcmc.py:295-298.
+
+Proposal mechanics mirror the reference operator suite exactly (grow/shrink
+with boundary corrections, collapsed "Gibbsish" membership posteriors with
+the weight-flip marginal trick, cluster-wide Bernoulli resampling with
+standstill exclusion, inter-cluster jumps, Gibbs source/weight resampling)
+— reference citations on each operator. The heavy math is fused static-
+shape linear algebra; probability heating happens in logit space for
+numerical robustness.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import betaln
+
+from sbayes_tpu.model.math import (
+    conditional_effect_mean,
+    normalize,
+    normalize_weights,
+    sample_categorical_onehot,
+)
+from sbayes_tpu.sampling.conditionals import EPS32, Conditionals
+from sbayes_tpu.sampling.state import ChainState
+
+Q_GIBBS = -jnp.inf
+Q_BACK_GIBBS = 0.0
+Q_REJECT = 0.0
+Q_BACK_REJECT = -jnp.inf
+
+TINY = 1e-35
+
+
+class OpResult(NamedTuple):
+    state: ChainState
+    log_q: jnp.ndarray
+    log_q_back: jnp.ndarray
+    step_size: jnp.ndarray  # operator-specific step size (for stats)
+
+
+def _reject(state) -> "OpResult":
+    z = jnp.float32
+    return OpResult(state, jnp.asarray(Q_REJECT, z), jnp.asarray(-jnp.inf, z), jnp.asarray(0.0, z))
+
+
+def _select_result(pred, a: OpResult, b: OpResult) -> OpResult:
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _masked_categorical(key, p, mask):
+    """Draw an index ~ p restricted to ``mask`` (p need not be normalized)."""
+    logits = jnp.where(mask, jnp.log(jnp.maximum(p, TINY)), -jnp.inf)
+    return jax.random.categorical(key, logits)
+
+
+def _heat_prob(p, temperature):
+    """p**(1/T) / (p**(1/T) + (1-p)**(1/T)) via logits (stable)."""
+    logit = jnp.log(jnp.maximum(p, TINY)) - jnp.log(jnp.maximum(1.0 - p, TINY))
+    return jax.nn.sigmoid(logit / temperature)
+
+
+class OperatorFactory:
+    """Builds the jittable operator suite for one model + temperature."""
+
+    def __init__(self, cond: Conditionals, p_grow: float = 0.5):
+        self.cond = cond
+        self.consts = cond.consts
+        self.T = cond.T
+        self.Tp = cond.Tp
+        self.sample_from_prior = cond.sample_from_prior
+        self.p_grow = p_grow
+
+    # ==================================================================
+    # Shared cluster-posterior math
+    # ==================================================================
+
+    def _log_marginal_with_without(self, state, i_cluster, avail, heated_counts=True):
+        """log marginal lh of each object with/without cluster membership.
+
+        The collapsed membership odds used by the Gibbsish operators
+        (reference: operators.py:1035-1095 ``compute_cluster_posterior``
+        and :1420-1472 ``compute_raw_cluster_probs``): replace component-0
+        likelihood by the proposal cluster effect, combine with
+        renormalized weights for the flipped/unflipped availability
+        pattern, and take the product over features — here in log space.
+
+        Returns (log_m0, log_m1): (N,) log marginals without/with the
+        cluster, meaningful at ``avail``.
+        """
+        c = self.consts
+        cond = self.cond
+        feats = jnp.asarray(c.features)
+        na = jnp.asarray(c.na)
+
+        cl_counts, conf_counts = cond.post.feature_counts(state.clusters, state.source)
+
+        # Proposal cluster effect (gibbs flavor; reference ClusterEffectProposals.gibbs)
+        p_eff = conditional_effect_mean(
+            prior_counts=jnp.asarray(c.conc_cluster),
+            feature_counts=cl_counts[i_cluster],
+            unif_counts=jnp.asarray(c.unif_conc),
+            prior_temperature=self.Tp,
+            temperature=self.T,
+        )
+        cluster_lh = jnp.einsum("fs,nfs->nf", p_eff, feats)
+
+        all_lh = cond.likelihood_per_component(state.clusters, cl_counts, conf_counts)
+        all_lh = all_lh.at[:, :, 0].set(jnp.where(na, 1.0, cluster_lh))
+
+        # Weights with/without cluster membership (weight-flip trick)
+        hc = cond.post.has_components(state.clusters)
+        w_cur = normalize(normalize_weights(state.weights, hc) ** (1.0 / self.Tp), axis=-1)
+        hc_flip = hc.at[:, 0].set(~hc[:, 0])
+        w_flip = normalize_weights(state.weights ** (1.0 / self.Tp), hc_flip)
+
+        in_cluster_now = hc[:, 0]  # object currently has the cluster component
+        w_with = jnp.where(in_cluster_now[:, None, None], w_cur, w_flip)
+        w_without = jnp.where(in_cluster_now[:, None, None], w_flip, w_cur)
+
+        lh_with = jnp.einsum("nfc,nfc->nf", all_lh, w_with)
+        lh_without = jnp.einsum("nfc,nfc->nf", all_lh, w_without)
+
+        log_m1 = jnp.log(jnp.maximum(lh_with, TINY)).sum(-1) / self.T
+        log_m0 = jnp.log(jnp.maximum(lh_without, TINY)).sum(-1) / self.T
+        return log_m0, log_m1
+
+    def _cluster_posterior(self, state, i_cluster, avail, consider_geo, geo_scaler=1.0,
+                           additive_smoothing=1e-6, gibbsish=True):
+        """(N,) membership probability of each object (meaningful at avail)."""
+        if self.sample_from_prior or not gibbsish:
+            return jnp.full((self.consts.N,), 0.5, jnp.float32)
+
+        log_m0, log_m1 = self._log_marginal_with_without(state, i_cluster, avail)
+        if consider_geo:
+            geo = self.cond.post.geo_prior_costs_per_object(state.clusters, i_cluster)
+            log_m1 = log_m1 + geo / self.Tp / geo_scaler
+
+        p = jax.nn.sigmoid(log_m1 - log_m0)
+        if additive_smoothing > 0:
+            a = additive_smoothing
+            p = (p + a) / (1 + 2 * a)
+        return p
+
+    def _occupied(self, clusters):
+        return jnp.any(clusters, axis=0)
+
+    def _grow_candidates(self, clusters, i_cluster, neighbourhood: str):
+        """Boolean growth-candidate mask (reference: operators.py:1097-1107)."""
+        occ = self._occupied(clusters)
+        if neighbourhood == "everywhere":
+            return ~occ
+        adj = jnp.asarray(self.consts.adjacency).astype(jnp.float32)
+        cluster = clusters[i_cluster].astype(jnp.float32)
+        reach = adj @ cluster
+        if neighbourhood == "twostep":
+            reach = adj @ reach
+        return (reach > 0) & ~occ
+
+    # ==================================================================
+    # AlterCluster: grow/shrink one object (naive and Gibbsish variants)
+    # Reference: operators.py:969-1249
+    # ==================================================================
+
+    def make_alter_cluster(self, gibbsish: bool, neighbourhood: str, consider_geo: bool) -> Callable:
+        cond = self.cond
+        consts = self.consts
+        K, N = consts.K, consts.N
+        min_size, max_size = consts.min_size, consts.max_size
+        p_grow = self.p_grow
+
+        def posterior(state, i_cluster, avail):
+            return self._cluster_posterior(
+                state, i_cluster, avail, consider_geo=consider_geo, gibbsish=gibbsish
+            )
+
+        def grow(key, state, i_cluster):
+            k_obj, k_src = jax.random.split(key)
+            cluster = state.clusters[i_cluster]
+            cand = self._grow_candidates(state.clusters, i_cluster, neighbourhood)
+            size = cluster.sum()
+
+            p_post = _heat_prob(posterior(state, i_cluster, cand), self.T)
+            p_vec = jnp.where(cand, p_post, 0.0)
+            total = p_vec.sum()
+            rejected = (~jnp.any(cand)) | (size >= max_size) | (total <= 0)
+
+            obj = _masked_categorical(k_obj, p_vec, cand | ~jnp.any(cand))
+            p_add = p_vec / jnp.maximum(total, TINY)
+
+            clusters_new = state.clusters.at[i_cluster, obj].set(True)
+            subset = jnp.zeros(N, bool).at[obj].set(True)
+            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_cluster)
+            state_new = state._replace(clusters=clusters_new, source=rs.source)
+
+            # Backward: removal probability in the new state
+            shrink_cand = clusters_new[i_cluster]
+            p_back = _heat_prob(posterior(state_new, i_cluster, shrink_cand), self.T)
+            p_rm = jnp.where(shrink_cand, 1.0 - p_back, 0.0)
+            p_remove = p_rm / jnp.maximum(p_rm.sum(), TINY)
+
+            log_q = jnp.log(jnp.maximum(p_add[obj], TINY)) + rs.log_q + jnp.log(p_grow)
+            log_q_back = (
+                jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q_back + jnp.log(1 - p_grow)
+            )
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
+            return _select_result(rejected, _reject(state), res)
+
+        def shrink(key, state, i_cluster):
+            k_obj, k_src = jax.random.split(key)
+            cluster = state.clusters[i_cluster]
+            n_cand = cluster.sum()
+
+            p_post = _heat_prob(posterior(state, i_cluster, cluster), self.T)
+            x = jnp.where(cluster, 1.0 - p_post, 0.0)
+            rejected = (n_cand <= min_size) | (x.sum() <= 0)
+            p_remove = x / jnp.maximum(x.sum(), TINY)
+
+            obj = _masked_categorical(k_obj, x, cluster)
+            clusters_new = state.clusters.at[i_cluster, obj].set(False)
+            subset = jnp.zeros(N, bool).at[obj].set(True)
+            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_cluster)
+            state_new = state._replace(clusters=clusters_new, source=rs.source)
+
+            # Backward: add probability in the new state
+            grow_cand = self._grow_candidates(clusters_new, i_cluster, neighbourhood)
+            rejected = rejected | ~grow_cand[obj]
+            p_back = _heat_prob(posterior(state_new, i_cluster, grow_cand), self.T)
+            pb_vec = jnp.where(grow_cand, p_back, 0.0)
+            p_add = pb_vec / jnp.maximum(pb_vec.sum(), TINY)
+
+            log_q = jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q + jnp.log(1 - p_grow)
+            log_q_back = jnp.log(jnp.maximum(p_add[obj], TINY)) + rs.log_q_back + jnp.log(p_grow)
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
+            return _select_result(rejected, _reject(state), res)
+
+        def op(key, state):
+            k_c, k_g, k_branch = jax.random.split(key, 3)
+            i_cluster = jax.random.randint(k_c, (), 0, K)
+            size = state.clusters[i_cluster].sum()
+            at_min = size == min_size
+            at_max = size == max_size
+            boundary = at_min | at_max
+            do_grow = jnp.where(at_min, True, jnp.where(at_max, False, jax.random.uniform(k_g) < p_grow))
+
+            res = lax.cond(do_grow, lambda: grow(k_branch, state, i_cluster),
+                           lambda: shrink(k_branch, state, i_cluster))
+            # Boundary correction -log(2) on the backward probability
+            corr = jnp.where(boundary & jnp.isfinite(res.log_q_back), -jnp.log(2.0), 0.0)
+            return res._replace(log_q_back=res.log_q_back + corr)
+
+        return op
+
+    # ==================================================================
+    # AlterClusterWide: resample the full membership vector of one cluster
+    # Reference: operators.py:1382-1568
+    # ==================================================================
+
+    def _make_wide_cluster_probs(self, consider_geo: bool, w_stay: float,
+                                 eps: float, geo_scaler: float) -> Callable:
+        """Per-object Bernoulli proposal probabilities of the wide operator
+        (reference: compute_cluster_probs, operators.py:1399-1418):
+        posterior mixed with the current cluster, rescaled so the expected
+        proposal size matches the current size."""
+
+        def cluster_probs(state, i_cluster, avail):
+            cluster = state.clusters[i_cluster]
+            p_raw = self._cluster_posterior(
+                state, i_cluster, avail, consider_geo=consider_geo,
+                geo_scaler=geo_scaler, additive_smoothing=0.0,
+            )
+            p_raw = jnp.where(avail, p_raw, 0.0)
+            p = (p_raw + EPS32) / jnp.maximum((p_raw + EPS32 * avail).sum(), TINY) * avail
+            p_n = (p + eps) / jnp.maximum((p + eps * avail).sum(), TINY)
+            stay = cluster.astype(jnp.float32)
+            stay_n = stay / jnp.maximum(stay.sum(), TINY)
+            p = ((1 - w_stay) * p_n + w_stay * stay_n) * avail
+
+            # Rescale so the expected size matches the current size
+            old_size = (cluster & avail).sum().astype(jnp.float32)
+
+            def body(_, carry):
+                p, done = carry
+                new_exp = p.sum()
+                p2 = jnp.clip(p * old_size / jnp.maximum(new_exp, TINY), eps, 1 - eps) * avail
+                p2 = jnp.where(done, p, p2)
+                done2 = done | (p2.sum() > 0.975 * old_size)
+                return p2, done2
+
+            p, _ = lax.fori_loop(0, 10, body, (p, jnp.asarray(False)))
+            return jnp.where(avail, p, 0.0)
+
+        return cluster_probs
+
+    def make_alter_cluster_wide(self, consider_geo: bool, w_stay: float = 0.15,
+                                eps: float = None, geo_scaler: float = 2.0) -> Callable:
+        cond = self.cond
+        consts = self.consts
+        K, N = consts.K, consts.N
+        min_size, max_size = consts.min_size, consts.max_size
+        if eps is None:
+            eps = 0.01 / consts.N
+        cluster_probs = self._make_wide_cluster_probs(consider_geo, w_stay, eps, geo_scaler)
+
+        def op(key, state):
+            k_c, k_draw, k_src = jax.random.split(key, 3)
+            i_cluster = jax.random.randint(k_c, (), 0, K)
+            cluster_old = state.clusters[i_cluster]
+            avail = (~self._occupied(state.clusters)) | cluster_old
+
+            p = cluster_probs(state, i_cluster, avail)
+
+            # Redraw until the proposal differs from the current cluster
+            def draw(k):
+                return (jax.random.uniform(k, (N,)) < p) & avail
+
+            def cond_fn(carry):
+                k, c_new, n_draws = carry
+                return jnp.all(c_new == (cluster_old & avail)) & (n_draws < 100)
+
+            def body_fn(carry):
+                k, _, n_draws = carry
+                k1, k2 = jax.random.split(k)
+                return k2, draw(k1), n_draws + 1
+
+            k1, k2 = jax.random.split(k_draw)
+            _, cluster_draw, _ = lax.while_loop(cond_fn, body_fn, (k2, draw(k1), jnp.int32(1)))
+
+            cluster_new = jnp.where(avail, cluster_draw, cluster_old)
+            new_size = cluster_new.sum()
+            standstill = jnp.all(cluster_new == cluster_old)
+            rejected = (new_size < min_size) | (new_size > max_size) | standstill
+
+            q_site = jnp.where(cluster_draw, p, 1.0 - p)
+            log_q = jnp.where(avail, jnp.log(jnp.maximum(q_site, TINY)), 0.0).sum()
+            ss_site = jnp.where(cluster_old, p, 1.0 - p)
+            log_p_ss = jnp.where(avail, jnp.log(jnp.maximum(ss_site, TINY)), 0.0).sum()
+            log_q = log_q - jnp.log1p(-jnp.minimum(jnp.exp(log_p_ss), 1 - 1e-7))
+
+            clusters_new = state.clusters.at[i_cluster].set(cluster_new)
+            changed = cluster_old != cluster_new
+            rs = cond.gibbs_resample_source(k_src, state, clusters_new, changed, i_cluster)
+            state_new = state._replace(clusters=clusters_new, source=rs.source)
+
+            p_back = cluster_probs(state_new, i_cluster, avail)
+            qb_site = jnp.where(cluster_old, p_back, 1.0 - p_back)
+            log_q_back = jnp.where(avail, jnp.log(jnp.maximum(qb_site, TINY)), 0.0).sum()
+            ssb_site = jnp.where(cluster_new, p_back, 1.0 - p_back)
+            log_p_ssb = jnp.where(avail, jnp.log(jnp.maximum(ssb_site, TINY)), 0.0).sum()
+            log_q_back = log_q_back - jnp.log1p(-jnp.minimum(jnp.exp(log_p_ssb), 1 - 1e-7))
+
+            res = OpResult(
+                state_new,
+                log_q + rs.log_q,
+                log_q_back + rs.log_q_back,
+                changed.sum().astype(jnp.float32),
+            )
+            return _select_result(rejected, _reject(state), res)
+
+        return op
+
+    def make_ml_cluster_step(self, consider_geo: bool = True, w_stay: float = 0.1,
+                             eps: float = 1e-6, geo_scaler: float = 2.0) -> Callable:
+        """Deterministic maximum-likelihood cluster step for the initializer.
+
+        Thresholds the wide-operator proposal probabilities at the current
+        cluster size (reference: AlterClusterWide.ml_step,
+        operators.py:1474-1502). Returns ``step(key, state, i_cluster)``.
+        """
+        cond = self.cond
+        consts = self.consts
+        cluster_probs = self._make_wide_cluster_probs(consider_geo, w_stay, eps, geo_scaler)
+
+        def ml_step(key, state, i_cluster):
+            cluster_old = state.clusters[i_cluster]
+            avail = (~self._occupied(state.clusters)) | cluster_old
+            p = jnp.where(avail, cluster_probs(state, i_cluster, avail), -jnp.inf)
+            size = jnp.clip(cluster_old.sum(), consts.min_size, consts.max_size)
+            # threshold at the size-th largest probability
+            sorted_p = jnp.sort(p)[::-1]
+            thresh = sorted_p[jnp.maximum(size - 1, 0)]
+            cluster_new = (p >= thresh) & avail
+            ok = (consts.min_size <= cluster_new.sum()) & (cluster_new.sum() <= consts.max_size)
+            cluster_new = jnp.where(ok, cluster_new, cluster_old)
+            clusters_new = state.clusters.at[i_cluster].set(cluster_new)
+            changed = cluster_old != cluster_new
+            rs = cond.gibbs_resample_source(key, state, clusters_new, changed, i_cluster)
+            return state._replace(clusters=clusters_new, source=rs.source)
+
+        return ml_step
+
+    # ==================================================================
+    # ClusterJump: move one object between two clusters
+    # Reference: operators.py:1668-1827
+    # ==================================================================
+
+    def make_cluster_jump(self, gibbsish: bool = True) -> Callable:
+        cond = self.cond
+        consts = self.consts
+        K, N = consts.K, consts.N
+        na = jnp.asarray(consts.na)
+
+        def jump_lh(state, cl_counts, conf_counts, i_src, i_tgt):
+            """(N,) probability that each source-cluster member prefers the
+            target cluster (reference: get_jump_lh, operators.py:1679-1722).
+            Meaningful at members of cluster i_src. Keeps the reference's
+            float32-EPS flooring semantics (tiny products become uniform)."""
+            c = consts
+            feats = jnp.asarray(c.features)
+            source_cluster = state.clusters[i_src]
+            hc = cond.post.has_components(state.clusters)
+            w = normalize_weights(state.weights, hc)
+            w_heated = normalize(w ** (1.0 / self.Tp), axis=-1)
+            w_clust = w_heated[:, :, 0]  # (N, F)
+
+            def effect(i):
+                return conditional_effect_mean(
+                    prior_counts=jnp.asarray(c.conc_cluster),
+                    feature_counts=cl_counts[i],
+                    unif_counts=jnp.asarray(c.unif_conc),
+                    prior_temperature=self.Tp,
+                    temperature=self.T,
+                )
+
+            p_src, p_tgt = effect(i_src), effect(i_tgt)
+            p_conf = cond.expected_confounder_features(state.clusters, state.weights, conf_counts)
+
+            def marginal(p_clust):
+                p_total = p_conf + w_clust[:, :, None] * p_clust[None]
+                lh_f = jnp.einsum("nfs,nfs->nf", feats, p_total)
+                log_lh = jnp.where(~na, jnp.log(jnp.maximum(lh_f, TINY)), 0.0).sum(-1)
+                return jnp.exp(log_lh / self.T) + EPS32
+
+            lh_stay = marginal(p_src)
+            lh_jump = marginal(p_tgt)
+            return lh_jump / (lh_jump + lh_stay)
+
+        def op(key, state):
+            k_cl, k_obj, k_src = jax.random.split(key, 3)
+            perm = jax.random.permutation(k_cl, K)
+            i_src, i_tgt = perm[0], perm[1]
+            source_cluster = state.clusters[i_src]
+            target_cluster = state.clusters[i_tgt]
+            rejected = (source_cluster.sum() <= consts.min_size) | (
+                target_cluster.sum() >= consts.max_size
+            )
+
+            cl_counts, conf_counts = cond.post.feature_counts(state.clusters, state.source)
+            if gibbsish and not self.sample_from_prior:
+                pj = jump_lh(state, cl_counts, conf_counts, i_src, i_tgt)
+            else:
+                pj = jnp.ones(N, jnp.float32)
+            pj_vec = jnp.where(source_cluster, pj, 0.0)
+            p_jump = pj_vec / jnp.maximum(pj_vec.sum(), TINY)
+
+            obj = _masked_categorical(k_obj, pj_vec, source_cluster)
+            clusters_new = state.clusters.at[i_src, obj].set(False).at[i_tgt, obj].set(True)
+            subset = jnp.zeros(N, bool).at[obj].set(True)
+            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_tgt)
+            state_new = state._replace(clusters=clusters_new, source=rs.source)
+
+            cl_counts2, conf_counts2 = cond.post.feature_counts(clusters_new, state_new.source)
+            if gibbsish and not self.sample_from_prior:
+                pjb = jump_lh(state_new, cl_counts2, conf_counts2, i_tgt, i_src)
+            else:
+                pjb = jnp.ones(N, jnp.float32)
+            new_tgt = clusters_new[i_tgt]
+            pjb_vec = jnp.where(new_tgt, pjb, 0.0)
+            p_jump_back = pjb_vec / jnp.maximum(pjb_vec.sum(), TINY)
+
+            log_q = jnp.log(jnp.maximum(p_jump[obj], TINY)) + rs.log_q
+            log_q_back = jnp.log(jnp.maximum(p_jump_back[obj], TINY)) + rs.log_q_back
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
+            return _select_result(rejected, _reject(state), res)
+
+        # The jump operator's source resample uses the NEW cluster for the
+        # forward pass and the OLD cluster for the backward pass, with
+        # lh computed per direction (reference gibbs_sample_source_jump,
+        # operators.py:1775-1827). gibbs_resample_source covers the forward
+        # direction; the backward lh differs only through the (identical)
+        # leave-subset-out counts, so the shared path is exact here too.
+        return op
+
+    # ==================================================================
+    # GibbsSampleSource
+    # Reference: operators.py:423-579
+    # ==================================================================
+
+    def make_gibbs_sample_source(self, object_selector: str, max_size: int) -> Callable:
+        cond = self.cond
+        consts = self.consts
+        N, K = consts.N, consts.K
+        na = jnp.asarray(consts.na)
+        n_conf = len(consts.conf_names)
+        min_subset = 10
+        if N <= min_subset:
+            object_selector = "all"
+        k_cap = min(max_size, N)
+
+        # Static group tensor rows: clusters are dynamic, confounder groups static.
+        def select_subset(key, state):
+            if object_selector == "all":
+                return jnp.ones(N, bool)
+            k1, k2, k3 = jax.random.split(key, 3)
+            if object_selector == "random_subset":
+                idx = jax.random.choice(k1, N, shape=(k_cap,), replace=False)
+                return jnp.zeros(N, bool).at[idx].set(True)
+            # groups: pick one component uniformly, then one group within it;
+            # cap the subset at k_cap members via Gumbel top-k.
+            comp = jax.random.randint(k1, (), 0, 1 + n_conf)
+            all_rows = [state.clusters]
+            for i_c in range(n_conf):
+                g = jnp.asarray(consts.groups[i_c]) > 0  # (Gmax, N)
+                all_rows.append(g)
+            # choose a group index within the chosen component
+            n_groups_per_comp = jnp.asarray([K] + [int(n) for n in consts.n_groups], jnp.int32)
+            g_idx = jax.random.randint(k2, (), 0, 10**9) % n_groups_per_comp[comp]
+            # gather the member mask (rows: K cluster rows, then Gmax rows per confounder)
+            stacked = jnp.concatenate(all_rows, axis=0)  # (K + n_conf*Gmax, N)
+            offsets = jnp.asarray([0] + [K + i * consts.Gmax for i in range(n_conf)], jnp.int32)
+            member = stacked[offsets[comp] + g_idx]
+
+            g_size = member.sum()
+            scores = jnp.where(member, jax.random.gumbel(k3, (N,)), -jnp.inf)
+            top_vals, top_idx = lax.top_k(scores, k_cap)
+            capped = jnp.zeros(N, bool).at[top_idx].set(jnp.isfinite(top_vals))
+            return jnp.where(g_size > k_cap, capped, member)
+
+        def posterior_probs(state):
+            if self.sample_from_prior:
+                w = normalize_weights(state.weights, cond.post.has_components(state.clusters))
+                return normalize(w ** (1.0 / self.Tp), axis=-1)
+            return cond.source_posterior(state.clusters, state.weights, state.source)
+
+        def op(key, state):
+            k_sel, k_draw = jax.random.split(key)
+            subset = select_subset(k_sel, state)
+
+            p = posterior_probs(state)
+            x = sample_categorical_onehot(k_draw, p)
+            x = x & ~na[:, :, None]
+            source_new = jnp.where(subset[:, None, None], x, state.source)
+            state_new = state._replace(source=source_new)
+
+            log_q = cond._masked_source_logp(p, source_new, subset)
+            p_back = posterior_probs(state_new)
+            log_q_back = cond._masked_source_logp(p_back, state.source, subset)
+
+            step_size = (source_new ^ state.source).sum().astype(jnp.float32)
+            return OpResult(state_new, log_q, log_q_back, step_size)
+
+        return op
+
+    # ==================================================================
+    # GibbsSampleWeights: per-feature independent MH on two components
+    # Reference: operators.py:582-693
+    # ==================================================================
+
+    def make_gibbs_sample_weights(self) -> Callable:
+        cond = self.cond
+        consts = self.consts
+        C = consts.C
+        F = consts.F
+        na = jnp.asarray(consts.na)
+        conc_w = jnp.asarray(consts.conc_weights)
+
+        def source_lh_by_feature(source, w_normed):
+            p = (source * w_normed).sum(-1)
+            p = jnp.where(na, 1.0, p)
+            return jnp.log(jnp.maximum(p, TINY)).sum(0)  # (F,)
+
+        def pointwise_prior(weights):
+            return cond.post.weights_prior_pointwise(weights)
+
+        def op(key, state):
+            k_pair, k_beta, k_acc = jax.random.split(key, 3)
+            w = state.weights
+            hc = cond.post.has_components(state.clusters)
+
+            w_norm_old = normalize_weights(w, hc)
+            ll_old = source_lh_by_feature(state.source, w_norm_old)
+            lp_old = pointwise_prior(w)
+
+            pair = jax.random.permutation(k_pair, C)
+            i1, i2 = pair[0], pair[1]
+
+            has_both = hc[:, i1] & hc[:, i2]
+            counts = (
+                jnp.einsum("n,nfc->fc", has_both.astype(w.dtype), state.source.astype(w.dtype))
+                + conc_w
+            )
+            c1 = counts[:, i1] / self.Tp
+            c2 = counts[:, i2] / self.Tp
+
+            a_beta, b_beta = 1.0 + c2, 1.0 + c1
+            a2 = jax.random.beta(k_beta, a_beta, b_beta)
+            a2 = jnp.clip(a2, 1e-7, 1 - 1e-7)
+
+            w02 = w[:, i1] + w[:, i2]
+            w_new = w.at[:, i1].set((1 - a2) * w02).at[:, i2].set(a2 * w02)
+            w_new = normalize(w_new, axis=-1)
+
+            def beta_logpdf(x, a, b):
+                return (a - 1) * jnp.log(x) + (b - 1) * jnp.log1p(-x) - betaln(a, b)
+
+            a2_old = jnp.clip(w[:, i2] / jnp.maximum(w02, TINY), 1e-7, 1 - 1e-7)
+            log_q = beta_logpdf(a2, a_beta, b_beta)
+            log_q_back = beta_logpdf(a2_old, a_beta, b_beta)
+
+            w_norm_new = normalize_weights(w_new, hc)
+            ll_new = source_lh_by_feature(state.source, w_norm_new)
+            lp_new = pointwise_prior(w_new)
+
+            p_accept = jnp.exp((ll_new + lp_new - ll_old - lp_old + log_q_back - log_q) / self.Tp)
+            accept = jax.random.uniform(k_acc, (F,)) < p_accept
+            weights_final = jnp.where(accept[:, None], w_new, w)
+
+            state_new = state._replace(weights=weights_final)
+            return OpResult(
+                state_new,
+                jnp.asarray(Q_GIBBS, jnp.float32),
+                jnp.asarray(Q_BACK_GIBBS, jnp.float32),
+                accept.mean().astype(jnp.float32),
+            )
+
+        return op
+
+    # ==================================================================
+    # AlterWeights: Dirichlet random-walk on two weight components
+    # Reference: operators.py:371-413 (kept for capability parity; not in
+    # the default schedule)
+    # ==================================================================
+
+    def make_alter_weights(self, step_precision: float = 15.0) -> Callable:
+        consts = self.consts
+        C, F = consts.C, consts.F
+
+        def op(key, state):
+            k_f, k_pair, k_dir = jax.random.split(key, 3)
+            f_id = jax.random.randint(k_f, (), 0, F)
+            pair = jax.random.permutation(k_pair, C)
+            i1, i2 = pair[0], pair[1]
+            w_curr = jnp.stack([state.weights[f_id, i1], state.weights[f_id, i2]])
+            w_sum = w_curr.sum()
+            w_t = w_curr / w_sum
+
+            alpha = 1 + step_precision * w_t
+            w_new_t = jax.random.dirichlet(k_dir, alpha)
+            w_new_t = jnp.clip(w_new_t, 1e-7, 1 - 1e-7)
+            w_new_t = w_new_t / w_new_t.sum()
+
+            def dir_logpdf(x, a):
+                from sbayes_tpu.model.math import dirichlet_logpdf
+
+                return dirichlet_logpdf(x, a)
+
+            log_q = dir_logpdf(w_new_t, alpha)
+            alpha_back = 1 + step_precision * w_new_t
+            log_q_back = dir_logpdf(w_t, alpha_back)
+
+            w_new = w_new_t * w_sum
+            weights = state.weights.at[f_id, i1].set(w_new[0]).at[f_id, i2].set(w_new[1])
+            step_size = jnp.abs(weights - state.weights).sum()
+            return OpResult(state._replace(weights=weights), log_q, log_q_back, step_size)
+
+        return op
+
+
+class OperatorSpec(NamedTuple):
+    name: str
+    weight: float
+    fn: Callable
+
+
+def get_operator_schedule(
+    cond: Conditionals,
+    operators_config,
+    p_grow: float = 0.5,
+) -> list[OperatorSpec]:
+    """Build the scheduled operator suite with reference weights.
+
+    Reference schedule & weights: operators.py:28-209 — the cluster weight
+    splits 0.025/0.025/0.025/0.025/0.6/0.05/0.25 over the naive, Gibbsish,
+    wide and jump variants; source weight splits 0.4/0.6 over random-subset
+    and per-group resampling; the weights operator takes the full weights
+    share. Weights are normalized to 1.
+    """
+    factory = OperatorFactory(cond, p_grow=p_grow)
+    consts = cond.consts
+    geo_on = consts.geo.prior_type == "cost_based"
+    w_c = operators_config.clusters
+    w_w = operators_config.weights
+    w_s = operators_config.source
+
+    ops = [
+        OperatorSpec("cluster_naive_n1", 0.025 * w_c,
+                     factory.make_alter_cluster(gibbsish=False, neighbourhood="direct", consider_geo=False)),
+        OperatorSpec("cluster_naive_n1_geo", 0.025 * w_c,
+                     factory.make_alter_cluster(gibbsish=False, neighbourhood="direct", consider_geo=False)),
+        OperatorSpec("cluster_naive_n2_geo", 0.025 * w_c,
+                     factory.make_alter_cluster(gibbsish=False, neighbourhood="twostep", consider_geo=False)),
+        OperatorSpec("cluster_gibbsish", 0.025 * w_c,
+                     factory.make_alter_cluster(gibbsish=True, neighbourhood="everywhere", consider_geo=False)),
+        OperatorSpec("cluster_gibbsish_geo", 0.6 * w_c,
+                     factory.make_alter_cluster(gibbsish=True, neighbourhood="everywhere", consider_geo=geo_on)),
+        OperatorSpec("gibbsish_sample_cluster_wide_geo", 0.05 * w_c,
+                     factory.make_alter_cluster_wide(consider_geo=geo_on)),
+        OperatorSpec("cluster_jump_gibbsish", 0.25 * w_c if consts.K > 1 else 0.0,
+                     factory.make_cluster_jump(gibbsish=True)),
+        OperatorSpec("gibbs_sample_sources", 0.4 * w_s,
+                     factory.make_gibbs_sample_source("random_subset", max_size=20)),
+        OperatorSpec("gibbs_sample_sources_groups", 0.6 * w_s,
+                     factory.make_gibbs_sample_source("groups", max_size=30)),
+        OperatorSpec("gibbs_sample_weights", 1.0 * w_w,
+                     factory.make_gibbs_sample_weights()),
+    ]
+
+    ops = [o for o in ops if o.weight > 0]
+    total = sum(o.weight for o in ops)
+    return [o._replace(weight=o.weight / total) for o in ops]
