@@ -49,8 +49,11 @@ class Conditionals:
     ):
         self.post = posterior
         self.consts: ModelConstants = posterior.consts
-        self.T = float(temperature)
-        self.Tp = float(prior_temperature)
+        # Temperatures may be Python floats OR traced jax scalars: the whole
+        # operator/kernel stack is built per-trace, so a vmapped per-chain
+        # temperature ladder (MC3) compiles to ONE program.
+        self.T = temperature
+        self.Tp = prior_temperature
         self.sample_from_prior = sample_from_prior
 
     # ------------------------------------------------------------------

@@ -1,0 +1,541 @@
+"""Host-level MCMC orchestration: warm-up, sampling loop, MC3, logging.
+
+Counterpart of the reference's ``MCMCSetup`` + ``MCMC.generate_samples``
+(sbayes/mcmc_setup.py, sbayes/sampling/mcmc.py), redesigned for TPU:
+
+* ALL chains (warm-up races, MC3 temperature ladders, plain ensembles) are
+  one vmapped axis of a single compiled program. Per-chain temperatures are
+  traced inputs, so an MC3 ladder costs one compilation.
+* The hot loop runs on device in chunks of ``steps_per_sample`` steps; the
+  host only syncs at sample-logging boundaries (1000ish times per run).
+* MC3 swaps happen at swap intervals on tiny (log_lh, log_prior) scalars —
+  the permutation is applied to the chain axis on device.
+"""
+from __future__ import annotations
+
+import math
+import pickle
+import time
+from datetime import timedelta
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sbayes_tpu.data.loader import Data
+from sbayes_tpu.model.model import Model
+from sbayes_tpu.model.posterior import Posterior
+from sbayes_tpu.model.math import normalize_weights
+from sbayes_tpu.results.loggers import (
+    ClustersLogger,
+    LikelihoodLogger,
+    OperatorStatsLogger,
+    OperatorView,
+    ParametersCSVLogger,
+    ResultsLogger,
+    SampleRecord,
+    StateDumper,
+)
+from sbayes_tpu.sampling.conditionals import Conditionals
+from sbayes_tpu.sampling.initializer import Initializer
+from sbayes_tpu.sampling.kernel import Carry, OperatorStats, make_step_fn
+from sbayes_tpu.sampling.operators import get_operator_schedule
+from sbayes_tpu.sampling.state import ChainState
+
+
+class SamplerRuntime:
+    """Compiled, vmapped sampling programs for one model."""
+
+    def __init__(self, model: Model, mcmc_config, sample_from_prior: bool = False):
+        self.model = model
+        self.consts = model.consts
+        self.mcmc_config = mcmc_config
+        self.sample_from_prior = sample_from_prior
+        self.op_cfg = mcmc_config.operators
+        self.p_grow = 0.5
+
+        # Operator names/parameters for stats logging (weights from a
+        # representative cold-chain schedule).
+        cold = Conditionals(Posterior(self.consts, sample_from_prior), 1.0, 1.0)
+        self._op_specs_cold = get_operator_schedule(cold, self.op_cfg, self.p_grow)
+        self.op_names = [o.name for o in self._op_specs_cold]
+        self.n_ops = len(self.op_names)
+
+        self._run_chunk = self._build_run_chunk()
+        self._init_chains = self._build_init_chains()
+        self._sample_view = self._build_sample_view()
+
+    # -------------------- compiled programs --------------------
+
+    def _build_run_chunk(self):
+        consts = self.consts
+        sfp = self.sample_from_prior
+        op_cfg = self.op_cfg
+        p_grow = self.p_grow
+
+        def run_one(key, state, stats, T, Tp, n_steps):
+            cond = Conditionals(Posterior(consts, sfp), T, Tp)
+            ops = get_operator_schedule(cond, op_cfg, p_grow)
+            step = make_step_fn(cond, ops)
+
+            def body(carry, _):
+                return step(carry), None
+
+            carry, _ = jax.lax.scan(body, Carry(key, state, stats), length=n_steps)
+            return carry
+
+        vmapped = jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0, None))
+        return jax.jit(vmapped, static_argnums=(5,), donate_argnums=(1, 2))
+
+    def _build_init_chains(self):
+        """Initializer + posterior bookkeeping, vmapped over chains."""
+        consts = self.consts
+        sfp = self.sample_from_prior
+        init_cfg = self.mcmc_config.initialization
+
+        def init_one(key):
+            cond = Conditionals(Posterior(consts, sfp), 1.0, 1.0)
+            initializer = Initializer(
+                cond,
+                initial_size=init_cfg.objects_per_cluster,
+                attempts=init_cfg.attempts,
+                initial_cluster_steps=init_cfg.initial_cluster_steps,
+                n_em_steps=init_cfg.em_steps,
+            )
+            state = initializer.generate_sample(key)
+            parts = cond.post.parts(state)
+            return state._replace(log_lh=parts.log_lh, log_prior=parts.log_prior)
+
+        return jax.jit(jax.vmap(init_one))
+
+    def _build_sample_view(self):
+        """Per-sample device computation for the loggers: prior parts,
+        sufficient-statistic counts and exact per-observation likelihood."""
+        consts = self.consts
+        sfp = self.sample_from_prior
+
+        def view(state):
+            cond = Conditionals(Posterior(consts, sfp), 1.0, 1.0)
+            parts = cond.post.parts(state)
+            cl_counts, conf_counts = cond.post.feature_counts(state.clusters, state.source)
+            lh_exact = cond.likelihood_per_component_exact(state.clusters, state.source)
+            w = normalize_weights(state.weights, cond.post.has_components(state.clusters))
+            obs_lh = (w * lh_exact).sum(-1)
+            return parts, cl_counts, conf_counts, obs_lh
+
+        return jax.jit(view)
+
+    # -------------------- host helpers --------------------
+
+    def run_chunk(self, keys, states, stats, temps, prior_temps, n_steps: int) -> Carry:
+        return self._run_chunk(keys, states, stats, jnp.asarray(temps, jnp.float32),
+                               jnp.asarray(prior_temps, jnp.float32), n_steps)
+
+    def init_chains(self, key, n_chains: int) -> ChainState:
+        keys = jax.random.split(key, n_chains)
+        return self._init_chains(keys)
+
+    def make_record(self, state_c: ChainState, i_step: int, chain: int = 0,
+                    with_likelihood: bool = True) -> SampleRecord:
+        parts, cl_counts, conf_counts, obs_lh = self._sample_view(state_c)
+        return SampleRecord(
+            i_step=i_step,
+            clusters=np.asarray(state_c.clusters),
+            weights=np.asarray(state_c.weights),
+            source=np.asarray(state_c.source),
+            log_lh=float(parts.log_lh),
+            log_prior=float(parts.log_prior),
+            size_prior=float(parts.size_prior),
+            geo_prior=float(parts.geo_prior),
+            weights_prior=float(parts.weights_prior),
+            source_prior=float(parts.source_prior),
+            cluster_counts=np.asarray(cl_counts),
+            conf_counts=np.asarray(conf_counts),
+            observation_lh=np.asarray(obs_lh) if with_likelihood else None,
+            chain=chain,
+        )
+
+    def warmup(self, key, n_chains: int, n_steps: int, logger=None) -> ChainState:
+        """Warm-up race: run n_chains, keep the best by likelihood
+        (reference: mcmc.py:204-230)."""
+        k_init, k_run = jax.random.split(key)
+        states = self.init_chains(k_init, n_chains)
+        stats = jax.vmap(lambda _: OperatorStats.zeros(self.n_ops))(jnp.arange(n_chains))
+        ones = jnp.ones(n_chains, jnp.float32)
+        if n_steps > 0:
+            carry = self.run_chunk(jax.random.split(k_run, n_chains), states, stats, ones, ones, n_steps)
+            states = carry.state
+        best = int(jnp.argmax(states.log_lh))
+        if logger:
+            logger.info(
+                f"Starting state taken from warmup chain {best} with log-likelihood "
+                f"{float(states.log_lh[best]):.2f} (all chains: {np.asarray(states.log_lh).round(2).tolist()})."
+            )
+        return jax.tree.map(lambda x: x[best], states)
+
+
+class MCMCSetup:
+    """Per-(K, run) sampling orchestration + results files."""
+
+    def __init__(self, data: Data, experiment):
+        self.data = data
+        self.config = experiment.config
+        n_clusters = self.config.model.clusters
+        if not isinstance(n_clusters, int):
+            raise ValueError("MCMCSetup needs an integer cluster count (CLI resolves lists).")
+        self.model = Model(data, self.config.model)
+        self.path_results: Path = experiment.path_results / f"K{self.model.n_clusters}"
+        self.path_results.mkdir(exist_ok=True, parents=True)
+        self.logger = experiment.logger
+        self.runtime = SamplerRuntime(
+            self.model, self.config.mcmc, sample_from_prior=self.config.mcmc.sample_from_prior
+        )
+        self.swap_attempts = 0
+        self.swap_accepts = 0
+        self.swap_matrix: Optional[np.ndarray] = None
+        self.last_swap_matrix_save = 0
+        self.t_start = None
+
+    # -------------------- paths / loggers --------------------
+
+    def get_results_file_path(self, prefix: str, run: int, chain: int = 0, suffix: str = "txt") -> Path:
+        k = self.model.n_clusters
+        if chain == 0:
+            base_dir, chain_str = self.path_results, ""
+        else:
+            base_dir, chain_str = self.path_results / "hot_chains", f".chain{chain}"
+            base_dir.mkdir(exist_ok=True)
+        return base_dir / f"{prefix}_K{k}_{run}{chain_str}.{suffix}"
+
+    def get_sample_loggers(self, run: int, resume: bool, chain: int = 0) -> list[ResultsLogger]:
+        consts = self.model.consts
+        state_path = self.get_results_file_path("state", run, chain, "pickle")
+        loggers: list[ResultsLogger] = [StateDumper(state_path, consts, self.data, resume=resume)]
+        if chain > 0 and not self.config.results.log_hot_chains:
+            return loggers
+
+        loggers += [
+            ParametersCSVLogger(
+                self.get_results_file_path("stats", run, chain), consts, self.data,
+                resume=resume,
+                log_source=self.config.results.log_source,
+                float_format=f"%.{self.config.results.float_precision}g",
+            ),
+            ClustersLogger(self.get_results_file_path("clusters", run, chain), consts, self.data, resume=resume),
+            OperatorStatsLogger(
+                self.get_results_file_path("operator_stats", run, chain), consts, self.data, resume=resume
+            ),
+        ]
+        if (
+            not self.config.mcmc.sample_from_prior
+            and self.config.results.log_likelihood
+            and chain == 0
+        ):
+            loggers.append(
+                LikelihoodLogger(
+                    self.get_results_file_path("likelihood", run, chain, "h5"),
+                    consts, self.data, resume=resume,
+                )
+            )
+        return loggers
+
+    def log_setup(self):
+        cfg = self.config.mcmc
+        self.logger.info(self.model.get_setup_message())
+        self.logger.info(
+            f"\nMCMC SETUP\n##########################################\n"
+            f"MCMC with {cfg.steps} steps and {cfg.samples} samples\n"
+            f"Warm-up: {cfg.warmup.warmup_chains} chains exploring the parameter space in "
+            f"{cfg.warmup.warmup_steps} steps\n"
+            f"Ratio of cluster steps: {cfg.operators.clusters}\n"
+            f"Ratio of weight steps: {cfg.operators.weights}\n"
+            f"Ratio of source steps: {cfg.operators.source}"
+        )
+
+    # -------------------- resume --------------------
+
+    def _load_state_pickle(self, path: Path) -> tuple[ChainState, int]:
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        state = ChainState.from_numpy(d)
+        return state, int(d.get("i_step", 0))
+
+    def _resume_from_results(self, run: int, chain: int = 0) -> tuple[ChainState, int]:
+        """Legacy resume from clusters/stats files + source imputation
+        (reference: mcmc_setup.py:203-245)."""
+        from sbayes_tpu.results.results import Results
+
+        results = Results.from_csv_files(
+            self.get_results_file_path("clusters", run, chain),
+            self.get_results_file_path("stats", run, chain),
+        )
+        consts = self.model.consts
+        clusters = jnp.asarray(results.clusters[:, -1, :], dtype=bool)
+        weights = jnp.asarray(
+            np.stack([results.weights[f][-1] for f in self.data.features.names]), jnp.float32
+        )
+
+        cond = Conditionals(Posterior(consts), 1.0, 1.0)
+
+        @jax.jit
+        def impute(key):
+            from sbayes_tpu.model.math import sample_categorical_onehot
+
+            na = jnp.asarray(consts.na)
+            w = normalize_weights(weights, cond.post.has_components(clusters))
+            src = sample_categorical_onehot(key, w) & ~na[:, :, None]
+            state = ChainState(clusters, weights, src, jnp.float32(-jnp.inf), jnp.float32(-jnp.inf))
+            # one posterior Gibbs pass over the source
+            p = cond.source_posterior(clusters, weights, src)
+            src2 = sample_categorical_onehot(jax.random.fold_in(key, 1), p) & ~na[:, :, None]
+            state = state._replace(source=src2)
+            parts = cond.post.parts(state)
+            return state._replace(log_lh=parts.log_lh, log_prior=parts.log_prior)
+
+        state = impute(jax.random.PRNGKey(run))
+        return state, int(results.sample_id[-1] + 1)
+
+    # -------------------- single-chain sampling --------------------
+
+    def sample(self, initial_sample: Optional[ChainState] = None, resume: bool = True,
+               run: int = 1, seed: int = 0):
+        cfg = self.config.mcmc
+        rt = self.runtime
+        key = jax.random.PRNGKey(seed + 1000003 * run)
+        k_warm, k_run = jax.random.split(key)
+
+        sample_loggers = self.get_sample_loggers(run, resume)
+        i_step_start = 0
+
+        if initial_sample is not None:
+            state = initial_sample
+        elif resume:
+            state_path = self.get_results_file_path("state", run, 0, "pickle")
+            if state_path.exists():
+                state, i_step_start = self._load_state_pickle(state_path)
+            else:
+                state, i_step_start = self._resume_from_results(run)
+        else:
+            t0 = time.time()
+            state = rt.warmup(k_warm, cfg.warmup.warmup_chains, cfg.warmup.warmup_steps, self.logger)
+            self.logger.info(f"Initialization and warm-up finished after {time.time() - t0:.1f} seconds")
+
+        self._sample_loop(
+            state, sample_loggers, n_steps=cfg.steps, n_samples=cfg.samples,
+            i_step_start=i_step_start, key=k_run, run=run,
+        )
+
+    def _sample_loop(self, state: ChainState, sample_loggers, n_steps: int, n_samples: int,
+                     i_step_start: int, key, run: int):
+        rt = self.runtime
+        cfg = self.config.mcmc
+        steps_per_sample = int(math.ceil(n_steps / n_samples))
+
+        # batch of 1 chain
+        states = jax.tree.map(lambda x: x[None], state)
+        stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(1))
+        ones = jnp.ones(1, jnp.float32)
+
+        self.t_start = time.time()
+        self.logger.info("Sampling from posterior...")
+        i_step = i_step_start
+        log_every = max(1, int(round(cfg.screen_log_interval / steps_per_sample)))
+
+        i_sample_start = i_step_start // steps_per_sample
+        for i_sample in range(i_sample_start, n_samples):
+            key, k_chunk = jax.random.split(key)
+            carry = rt.run_chunk(k_chunk[None], states, stats, ones, ones, steps_per_sample)
+            states, stats = carry.state, carry.stats
+            i_step += steps_per_sample
+
+            if int(jax.device_get(stats.non_finite[0])) > 0:
+                raise ValueError("Non-finite log-posterior was accepted during MCMC.")
+
+            state_c = jax.tree.map(lambda x: x[0], states)
+            record = rt.make_record(state_c, i_step=i_step, chain=0)
+            self._push_operator_stats(sample_loggers, stats, chain_idx=0,
+                                      elapsed=time.time() - self.t_start,
+                                      steps_done=i_step - i_step_start)
+            for logger in sample_loggers:
+                logger.write_sample(record)
+
+            if (i_sample + 1) % log_every == 0:
+                self._print_screen_log(i_step, record.log_lh, i_step_start)
+
+        for logger in sample_loggers:
+            logger.close()
+        self.logger.info(f"MCMC run finished after {time.time() - self.t_start:.1f} seconds")
+
+    def _push_operator_stats(self, sample_loggers, stats, chain_idx: int,
+                             elapsed: float, steps_done: int):
+        accepts = np.asarray(stats.accepts[chain_idx])
+        rejects = np.asarray(stats.rejects[chain_idx])
+        sss = np.asarray(stats.step_size_sum[chain_idx])
+        mean_step_time = elapsed / max(steps_done, 1)
+        views = [
+            OperatorView(
+                name=self.runtime.op_names[i],
+                accepts=int(accepts[i]),
+                rejects=int(rejects[i]),
+                step_size_sum=float(sss[i]),
+                mean_step_time_s=mean_step_time,
+            )
+            for i in range(self.runtime.n_ops)
+        ]
+        for logger in sample_loggers:
+            if isinstance(logger, OperatorStatsLogger):
+                logger.operators = views
+
+    def _print_screen_log(self, i_step: int, likelihood: float, i_step_start: int = 0):
+        time_per_million = (time.time() - self.t_start) / max(i_step - i_step_start, 1) * 1_000_000
+        self.logger.info(
+            f"{i_step:<12}log-likelihood:  {likelihood:<19.2f}"
+            f"{timedelta(seconds=int(time_per_million))} / million steps"
+        )
+
+    # -------------------- MC3 --------------------
+
+    def sample_mc3(self, resume: bool = False, run: int = 1, seed: int = 0):
+        """Metropolis-coupled MCMC: a vmapped temperature ladder with
+        periodic state swaps (reference: mcmc_setup.py:247-426, re-designed
+        as one on-device chain axis instead of one OS process per chain)."""
+        cfg = self.config.mcmc
+        mc3 = cfg.mc3
+        rt = self.runtime
+        n_chains = mc3.chains
+        swap_interval = mc3.swap_interval
+        n_swaps = int(cfg.steps / swap_interval)
+        logging_interval = int(np.ceil(cfg.steps / cfg.samples))
+
+        chain_idxs = np.arange(n_chains)
+        if mc3.exponential_temperatures:
+            temperatures = (1 + mc3.temperature_diff) ** chain_idxs
+            prior_temperatures = (1 + mc3.prior_temperature_diff) ** chain_idxs
+        else:
+            temperatures = 1 + mc3.temperature_diff * chain_idxs
+            prior_temperatures = 1 + mc3.prior_temperature_diff * chain_idxs
+        temps = jnp.asarray(temperatures, jnp.float32)
+        ptemps = jnp.asarray(prior_temperatures, jnp.float32)
+
+        key = jax.random.PRNGKey(seed + 7000003 * run)
+        k_init, k_run = jax.random.split(key)
+
+        t_pre_init = time.time()
+        loggers_by_chain = [self.get_sample_loggers(run, resume, chain=c) for c in range(n_chains)]
+
+        if resume:
+            states_list = []
+            for c in range(n_chains):
+                state_path = self.get_results_file_path("state", run, c, "pickle")
+                if state_path.exists():
+                    st, _ = self._load_state_pickle(state_path)
+                else:
+                    st, _ = self._resume_from_results(run, chain=c)
+                states_list.append(st)
+            states = jax.tree.map(lambda *xs: jnp.stack(xs), *states_list)
+        else:
+            # Warm-up every chain (vmapped): best-of warmup_chains per chain
+            # is approximated by one warm-up per chain (the ladder itself
+            # provides the exploration diversity).
+            states = rt.init_chains(k_init, n_chains)
+            stats0 = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(n_chains))
+            if cfg.warmup.warmup_steps > 0:
+                carry = rt.run_chunk(
+                    jax.random.split(jax.random.fold_in(k_init, 1), n_chains),
+                    states, stats0, temps, ptemps, cfg.warmup.warmup_steps,
+                )
+                states = carry.state
+
+        stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(n_chains))
+        self.swap_attempts = 0
+        self.swap_accepts = 0
+        self.swap_matrix = np.zeros((n_chains, n_chains), dtype=int)
+        self.t_start = time.time()
+        self.logger.info(
+            f"Initialization and warm-up time: {timedelta(seconds=int(self.t_start - t_pre_init))}"
+        )
+        self.logger.info("Sampling from posterior...")
+
+        swap_rng = np.random.default_rng(seed + 31 * run)
+        i_step = 0
+        for i_swap in range(n_swaps):
+            k_run, k_chunk = jax.random.split(k_run)
+            carry = rt.run_chunk(
+                jax.random.split(k_chunk, n_chains), states, stats, temps, ptemps, swap_interval
+            )
+            states, stats = carry.state, carry.stats
+            i_step += swap_interval
+
+            # ---- propose swaps on (log_lh, log_prior) scalars ----
+            ll = np.asarray(states.log_lh)
+            lp = np.asarray(states.log_prior)
+            perm = self._swap_chains(
+                ll, lp, temperatures, prior_temperatures,
+                attempts=mc3.swap_attempts,
+                only_neighbours=mc3.only_swap_adjacent_chains,
+                rng=swap_rng,
+            )
+            if not np.array_equal(perm, np.arange(n_chains)):
+                states = jax.tree.map(lambda x: x[jnp.asarray(perm)], states)
+
+            if mc3.log_swap_matrix and self.last_swap_matrix_save < self.swap_attempts:
+                path = self.path_results / f"mc3_swaps_K{self.model.n_clusters}_{run}.txt"
+                np.savetxt(path, self.swap_matrix, fmt="%i")
+                self.last_swap_matrix_save = self.swap_accepts
+
+            # ---- logging at sample intervals ----
+            if i_step % logging_interval == 0:
+                for c in range(n_chains):
+                    state_c = jax.tree.map(lambda x: x[c], states)
+                    record = rt.make_record(state_c, i_step=i_step, chain=c,
+                                            with_likelihood=(c == 0))
+                    self._push_operator_stats(loggers_by_chain[c], stats, chain_idx=c,
+                                              elapsed=time.time() - self.t_start,
+                                              steps_done=i_step)
+                    for logger in loggers_by_chain[c]:
+                        logger.write_sample(record)
+                self._print_screen_log(i_step, float(states.log_lh[0]))
+
+        for chain_loggers in loggers_by_chain:
+            for logger in chain_loggers:
+                logger.close()
+        self.logger.info(
+            f"MCMC run finished after {timedelta(seconds=int(time.time() - self.t_start))}"
+        )
+
+    def _swap_chains(self, ll, lp, temperatures, prior_temperatures, attempts: int,
+                     only_neighbours: bool, rng) -> np.ndarray:
+        """MH swap proposals on the temperature ladder; returns the chain
+        permutation to apply (reference: mcmc_setup.py:365-418)."""
+        n_chains = len(ll)
+        if only_neighbours:
+            possible = [(i, i + 1) for i in range(n_chains - 1)]
+        else:
+            possible = [(i, j) for i in range(n_chains - 1) for j in range(i + 1, n_chains)]
+        perm = np.arange(n_chains)
+        ll, lp = ll.copy(), lp.copy()
+        accepted = []
+        choice = rng.choice(len(possible), size=min(attempts, len(possible)), replace=False)
+        for idx in choice:
+            a, b = possible[idx]
+            log_prior_ratio = lp[a] - lp[b]
+            log_lh_ratio = ll[a] - ll[b]
+            prior_exp_diff = 1 / prior_temperatures[a] - 1 / prior_temperatures[b]
+            lh_exp_diff = 1 / temperatures[a] - 1 / temperatures[b]
+            mh_ratio = -(log_prior_ratio * prior_exp_diff + log_lh_ratio * lh_exp_diff)
+            if np.log(rng.random()) < mh_ratio:
+                perm[[a, b]] = perm[[b, a]]
+                ll[[a, b]] = ll[[b, a]]
+                lp[[a, b]] = lp[[b, a]]
+                self.swap_accepts += 1
+                self.swap_matrix[a, b] += 1
+                accepted.append((a, b))
+            self.swap_attempts += 1
+        self.logger.info(
+            f"Accepted swaps ({len(choice)} attempts): {accepted}".ljust(60)
+            + f"accept-rate={self.swap_accepts / max(self.swap_attempts, 1):.3f}"
+        )
+        return perm

@@ -1,0 +1,131 @@
+"""End-to-end smoke tests: full CLI run on the bundled tiny fixture.
+
+Mirrors the reference integration-test strategy (test/test_sbayes_experiment.py):
+pass criterion is a clean run producing parseable results files, plus
+resume support.
+"""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture()
+def results_dir(tmp_path):
+    return tmp_path / "results"
+
+
+def _run(results_dir, custom=None, resume=False, name="e2e"):
+    from sbayes_tpu.cli import run_experiment
+
+    settings = {"results": {"path": str(results_dir)}}
+    if custom:
+        from sbayes_tpu.utils import update_recursive
+
+        update_recursive(settings, custom)
+    run_experiment(
+        config=FIXTURES / "config.yaml",
+        experiment_name=name,
+        custom_settings=settings,
+        resume=resume,
+        i_run=0,
+    )
+    return results_dir / name / "K1"
+
+
+def test_resume_continues_partial_run(results_dir):
+    # First run: half the steps at the same sample spacing
+    out = _run(results_dir, custom={"mcmc": {"steps": 200, "samples": 10}}, name="resume")
+    n_before = len((out / "clusters_K1_0.txt").read_text().splitlines())
+    assert n_before == 10
+    # Resume with the full schedule: continues from step 200 and appends
+    _run(results_dir, custom={"mcmc": {"steps": 400, "samples": 20}}, resume=True, name="resume")
+    n_after = len((out / "clusters_K1_0.txt").read_text().splitlines())
+    assert n_after == 20
+
+
+def test_full_run_produces_results(results_dir):
+    out = _run(results_dir)
+
+    stats = out / "stats_K1_0.txt"
+    clusters = out / "clusters_K1_0.txt"
+    lh_h5 = out / "likelihood_K1_0.h5"
+    op_stats = out / "operator_stats_K1_0.txt"
+    state = out / "state_K1_0.pickle"
+    for p in (stats, clusters, lh_h5, op_stats, state):
+        assert p.exists(), f"missing results file {p}"
+
+    # Results reader round-trip
+    from sbayes_tpu.results.results import Results
+
+    res = Results.from_csv_files(clusters, stats, burn_in=0.0)
+    assert res.n_samples == 20
+    assert res.n_objects == 5
+    assert res.n_clusters == 1
+    assert res.feature_names == ["F1", "F2"]
+    assert set(res.confounders) == {"universal", "family"}
+    assert np.all(np.isfinite(res.likelihood))
+    # weights rows: areal + 2 confounders
+    w = res.weights["F1"]
+    assert w.shape[1] == 3
+    # effect probabilities sum to 1 over states
+    areal = res.areal_effect["a0"]
+    np.testing.assert_allclose(
+        areal["F1"].sum(-1), 1.0, atol=1e-5
+    )
+
+    # likelihood h5: correct shape, finite, reference dataset names
+    import h5py
+
+    with h5py.File(lh_h5) as f:
+        assert f["likelihood"].shape == (20, 10)
+        assert f["na_values"].shape == (10,)
+        lh = np.asarray(f["likelihood"])
+        na = np.asarray(f["na_values"])
+        assert np.all(lh[:, ~na] > 0)
+
+    # operator stats: header + one row per op
+    txt = op_stats.read_text()
+    assert "OPERATOR" in txt and "ACCEPT-RATE" in txt
+    assert "gibbs_sample_weights" in txt
+
+
+def test_resume_of_finished_run_is_noop(results_dir):
+    out = _run(results_dir)
+    n_lines_before = len((out / "clusters_K1_0.txt").read_text().splitlines())
+    _run(results_dir, resume=True)
+    n_lines_after = len((out / "clusters_K1_0.txt").read_text().splitlines())
+    assert n_lines_after == n_lines_before
+
+
+def test_sample_from_prior_mode(results_dir):
+    out = _run(results_dir, custom={"mcmc": {"sample_from_prior": True}}, name="prior_mode")
+    from sbayes_tpu.results.results import Results
+
+    res = Results.from_csv_files(out / "clusters_K1_0.txt", out / "stats_K1_0.txt", burn_in=0.0)
+    np.testing.assert_allclose(res.likelihood, 0.0, atol=1e-6)
+
+
+def test_mc3_run(results_dir):
+    out = _run(
+        results_dir,
+        custom={
+            "mcmc": {
+                "steps": 200,
+                "samples": 10,
+                "warmup": {"warmup_steps": 20, "warmup_chains": 2},
+                "mc3": {"activate": True, "chains": 3, "swap_interval": 20,
+                        "temperature_diff": 0.2},
+            }
+        },
+        name="mc3",
+    )
+    assert (out / "stats_K1_0.txt").exists()
+    assert (out / "hot_chains" / "stats_K1_0.chain1.txt").exists()
+    swap_matrix = out / "mc3_swaps_K1_0.txt"
+    assert swap_matrix.exists()
+    m = np.loadtxt(swap_matrix)
+    assert m.shape == (3, 3)
