@@ -1,0 +1,81 @@
+"""Benchmark: MCMC throughput on the south_america-shaped workload.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: total MCMC steps/sec/chip of a vmapped chain ensemble on a
+synthetic south_america-shaped dataset (100 objects x 36 features x <=6
+states, K=3, universal+family confounders) — the reference's headline
+workload shape (BASELINE.md).
+
+Baseline: the reference sampler measured on THIS machine via
+benchmarks/reference_baseline.py (shimmed numba -> scipy gammaln),
+multiplied by a conservative 3x margin for numba-JIT headroom the shim
+can't reproduce. See benchmarks/reference_baseline.json.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+# Reference single-core steps/sec measured by benchmarks/reference_baseline.py
+REFERENCE_MEASURED_STEPS_PER_SEC = 291.7
+NUMBA_HEADROOM_MARGIN = 3.0
+BASELINE_STEPS_PER_SEC = REFERENCE_MEASURED_STEPS_PER_SEC * NUMBA_HEADROOM_MARGIN
+
+N_CHAINS = 256
+CHUNK_STEPS = 1000
+
+
+def main():
+    from sbayes_tpu.model.model import Model
+    from sbayes_tpu.sampling.kernel import OperatorStats
+    from sbayes_tpu.sampling.runner import SamplerRuntime
+    from sbayes_tpu.testing import synthetic_config, synthetic_data
+
+    baseline_file = Path(__file__).parent / "benchmarks" / "reference_baseline.json"
+    baseline = BASELINE_STEPS_PER_SEC
+    if baseline_file.exists():
+        measured = json.loads(baseline_file.read_text())["steps_per_sec"]
+        baseline = measured * NUMBA_HEADROOM_MARGIN
+
+    data = synthetic_data(n_objects=100, n_features=36, n_states=6, n_families=6, seed=0)
+    config = synthetic_config(n_clusters=3, geo_prior="uniform")
+    model = Model(data, config.model)
+    rt = SamplerRuntime(model, config.mcmc, sample_from_prior=False)
+
+    states = rt.init_chains(jax.random.PRNGKey(0), N_CHAINS)
+    stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(N_CHAINS))
+    ones = jnp.ones(N_CHAINS, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), N_CHAINS)
+
+    # Compile + warm up
+    carry = rt.run_chunk(keys, states, stats, ones, ones, CHUNK_STEPS)
+    jax.block_until_ready(carry.state)
+
+    # Steady-state timing
+    n_chunks = 3
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(carry.key, i)
+        carry = rt.run_chunk(keys, carry.state, carry.stats, ones, ones, CHUNK_STEPS)
+    jax.block_until_ready(carry.state)
+    dt = time.perf_counter() - t0
+
+    total_steps = n_chunks * CHUNK_STEPS * N_CHAINS
+    steps_per_sec = total_steps / dt
+
+    print(json.dumps({
+        "metric": "mcmc_steps_per_sec_per_chip_south_america_shape_256chains",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(steps_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
