@@ -1,5 +1,10 @@
 """Probe: throughput vs number of vmapped chains on the TPU."""
+import os
+import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
@@ -21,8 +26,10 @@ def probe(n_chains, chunk_steps=200, reps=2):
     ones = jnp.ones(n_chains, jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
 
+    t_compile = time.perf_counter()
     carry = rt.run_chunk(keys, states, stats, ones, ones, chunk_steps)
     jax.block_until_ready(carry.state)
+    print(f"chains={n_chains:5d}  compile+first-chunk: {time.perf_counter() - t_compile:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     for i in range(reps):
@@ -31,9 +38,14 @@ def probe(n_chains, chunk_steps=200, reps=2):
     jax.block_until_ready(carry.state)
     dt = time.perf_counter() - t0
     total = reps * chunk_steps * n_chains
-    print(f"chains={n_chains:5d}  steps/sec={total/dt:10.0f}  per-chain={total/dt/n_chains:8.1f}  step-wall={dt/(reps*chunk_steps)*1e3:6.2f} ms")
+    print(
+        f"chains={n_chains:5d}  steps/sec={total/dt:10.0f}  per-chain={total/dt/n_chains:8.1f}"
+        f"  step-wall={dt/(reps*chunk_steps)*1e3:6.2f} ms",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
-    for n in [64, 256, 1024, 4096]:
+    sizes = [int(s) for s in sys.argv[1:]] or [64, 256, 1024, 4096]
+    for n in sizes:
         probe(n)

@@ -42,6 +42,10 @@ class PosteriorParts(NamedTuple):
     def log_prior(self):
         return self.size_prior + self.geo_prior + self.weights_prior + self.source_prior
 
+    def prior_vector(self):
+        """(4,) [size, geo, weights, source] — ChainState.prior_parts order."""
+        return jnp.stack([self.size_prior, self.geo_prior, self.weights_prior, self.source_prior])
+
 
 class Posterior:
     """Pure functions evaluating likelihood and priors for a model."""
@@ -237,6 +241,13 @@ class Posterior:
         """Return (log_lh, log_prior)."""
         p = self.parts(state)
         return p.log_lh, p.log_prior
+
+    def fill_state(self, state):
+        """Return the state with log_lh / log_prior / prior_parts filled."""
+        p = self.parts(state)
+        return state._replace(
+            log_lh=p.log_lh, log_prior=p.log_prior, prior_parts=p.prior_vector()
+        )
 
 
 def _simulated_sigmoid(total_distance, n):

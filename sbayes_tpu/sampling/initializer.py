@@ -169,6 +169,7 @@ class Initializer:
             source=source,
             log_lh=jnp.float32(-jnp.inf),
             log_prior=jnp.float32(-jnp.inf),
+            prior_parts=jnp.full((4,), -jnp.inf, jnp.float32),
         )
 
         # One full Gibbs source step

@@ -48,47 +48,102 @@ class Carry(NamedTuple):
     stats: OperatorStats
 
 
-def make_step_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Callable:
-    """Build the single-MH-step function ``step(carry) -> carry``."""
+def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Callable:
+    """Build ``apply(op_idx, key, state) -> (new_state, accept, step_size, nf)``:
+    apply operator ``op_idx`` and the MH accept/reject to one chain.
+
+    ``op_idx`` is expected to be UNBATCHED under ``vmap`` (one shared draw
+    per ensemble step), so ``lax.switch`` executes exactly one operator
+    branch per step instead of all of them for every chain. The operator
+    draw is independent of the state, so sharing it across chains leaves
+    every chain a valid sampler of the posterior (each branch kernel
+    preserves it); only the operator *identity* is correlated across
+    chains, which carries no information about the states.
+    """
     post = cond.post
     T, Tp = cond.T, cond.Tp
-    op_weights = jnp.asarray([o.weight for o in op_specs], jnp.float32)
-    op_logits = jnp.log(op_weights)
-    fns = [o.fn for o in op_specs]
-    n_ops = len(fns)
+    sfp = cond.sample_from_prior
+
+    from sbayes_tpu.sampling.state import PRIOR_SOURCE, PRIOR_WEIGHTS
+
+    def evaluate_candidate(spec: OperatorSpec, old_state, cand):
+        """Posterior bookkeeping of the candidate, specialized to the terms
+        the operator can actually change (static per branch)."""
+        if spec.changes == "clusters":
+            parts = post.parts(cand)
+            ll = parts.log_lh
+            pp = jnp.stack(
+                [parts.size_prior, parts.geo_prior, parts.weights_prior, parts.source_prior]
+            )
+        elif spec.changes == "source":
+            # clusters & weights untouched: size/geo/weights priors carry over
+            if sfp:
+                ll = jnp.zeros((), jnp.float32)
+            else:
+                ll = post.log_likelihood(cand)
+            sp = post.source_prior(cand.clusters, cand.weights, cand.source)
+            pp = old_state.prior_parts.at[PRIOR_SOURCE].set(sp)
+        elif spec.changes == "weights":
+            # the collapsed likelihood does not involve the weights
+            ll = old_state.log_lh
+            wp = post.weights_prior(cand.weights)
+            sp = post.source_prior(cand.clusters, cand.weights, cand.source)
+            pp = old_state.prior_parts.at[PRIOR_WEIGHTS].set(wp).at[PRIOR_SOURCE].set(sp)
+        else:
+            raise ValueError(f"Unknown operator change group {spec.changes}")
+        return cand._replace(log_lh=ll, log_prior=pp.sum(), prior_parts=pp)
+
+    def make_branch(spec: OperatorSpec):
+        def branch(key, state):
+            k_prop, k_u = jax.random.split(key)
+            res = spec.fn(k_prop, state)
+            cand = evaluate_candidate(spec, state, res.state)
+
+            gibbs = jnp.isneginf(res.log_q)
+            direct_reject = jnp.isneginf(res.log_q_back)
+            mh_ratio = (
+                (cand.log_lh - state.log_lh) / T
+                + (cand.log_prior - state.log_prior) / Tp
+                - (res.log_q - res.log_q_back)
+            )
+            u = jnp.log(jax.random.uniform(k_u))
+            accept = (~direct_reject) & (gibbs | (u < mh_ratio))
+
+            # Guard: flag accepted non-finite posteriors (reference raises;
+            # we count and let the host raise after the chunk).
+            nf = accept & (~jnp.isfinite(cand.log_lh) | ~jnp.isfinite(cand.log_prior))
+
+            new_state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, state)
+            return new_state, accept, res.step_size, nf
+
+        return branch
+
+    branches = [make_branch(spec) for spec in op_specs]
+
+    def apply(op_idx, key, state):
+        return lax.switch(op_idx, branches, key, state)
+
+    return apply
+
+
+def make_step_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Callable:
+    """Single-chain step ``step(carry) -> carry`` (per-chain operator draw).
+
+    Used by the harness entry point; the production ensemble path shares
+    the operator draw across chains (see runner._build_run_chunk).
+    """
+    op_logits = jnp.log(jnp.asarray([o.weight for o in op_specs], jnp.float32))
+    apply = make_mh_apply_fn(cond, op_specs)
 
     def step(carry: Carry) -> Carry:
         key, state, stats = carry
-        key, k_op, k_prop, k_u = jax.random.split(key, 4)
-
+        key, k_op, k_apply = jax.random.split(key, 3)
         op_idx = jax.random.categorical(k_op, op_logits)
-        res = lax.switch(op_idx, fns, k_prop, state)
-
-        parts = post.parts(res.state)
-        ll, lp = parts.log_lh, parts.log_prior
-        cand = res.state._replace(log_lh=ll, log_prior=lp)
-
-        gibbs = jnp.isneginf(res.log_q)
-        direct_reject = jnp.isneginf(res.log_q_back)
-        mh_ratio = (
-            (ll - state.log_lh) / T
-            + (lp - state.log_prior) / Tp
-            - (res.log_q - res.log_q_back)
-        )
-        u = jnp.log(jax.random.uniform(k_u))
-        accept = (~direct_reject) & (gibbs | (u < mh_ratio))
-
-        # Guard: flag accepted non-finite posteriors (reference raises;
-        # we count and let the host raise after the chunk).
-        nf = accept & (~jnp.isfinite(ll) | ~jnp.isfinite(lp))
-
-        new_state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, state)
+        new_state, accept, step_size, nf = apply(op_idx, k_apply, state)
         stats = OperatorStats(
             accepts=stats.accepts.at[op_idx].add(accept.astype(jnp.int32)),
             rejects=stats.rejects.at[op_idx].add((~accept).astype(jnp.int32)),
-            step_size_sum=stats.step_size_sum.at[op_idx].add(
-                jnp.where(accept, res.step_size, 0.0)
-            ),
+            step_size_sum=stats.step_size_sum.at[op_idx].add(jnp.where(accept, step_size, 0.0)),
             non_finite=stats.non_finite + nf.astype(jnp.int32),
         )
         return Carry(key, new_state, stats)
@@ -115,6 +170,5 @@ def make_chunk_runner(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> C
 
 
 def init_state_posterior(cond: Conditionals, state: ChainState) -> ChainState:
-    """Fill in log_lh / log_prior of a freshly built state."""
-    parts = jax.jit(cond.post.parts)(state)
-    return state._replace(log_lh=parts.log_lh, log_prior=parts.log_prior)
+    """Fill in log_lh / log_prior / prior_parts of a freshly built state."""
+    return jax.jit(cond.post.fill_state)(state)

@@ -66,6 +66,7 @@ def generate_prior_sample(key, cond: Conditionals) -> ChainState:
         source=source,
         log_lh=jnp.float32(-jnp.inf),
         log_prior=jnp.float32(-jnp.inf),
+        prior_parts=jnp.full((4,), -jnp.inf, jnp.float32),
     )
 
 

@@ -41,7 +41,7 @@ from sbayes_tpu.results.loggers import (
 )
 from sbayes_tpu.sampling.conditionals import Conditionals
 from sbayes_tpu.sampling.initializer import Initializer
-from sbayes_tpu.sampling.kernel import Carry, OperatorStats, make_step_fn
+from sbayes_tpu.sampling.kernel import Carry, OperatorStats, make_mh_apply_fn
 from sbayes_tpu.sampling.operators import get_operator_schedule
 from sbayes_tpu.sampling.state import ChainState
 
@@ -71,24 +71,56 @@ class SamplerRuntime:
     # -------------------- compiled programs --------------------
 
     def _build_run_chunk(self):
+        """The ensemble hot loop: scan over steps, vmap over chains INSIDE
+        the step, with ONE shared operator draw per step.
+
+        Sharing the operator index across the ensemble makes ``lax.switch``
+        execute exactly one operator branch per step (a per-chain draw
+        under vmap would execute every branch for every chain — measured
+        ~4x slower). The draw is state-independent, so each chain remains
+        a valid sampler of its posterior; see kernel.make_mh_apply_fn.
+        """
         consts = self.consts
         sfp = self.sample_from_prior
         op_cfg = self.op_cfg
         p_grow = self.p_grow
+        op_logits = np.log(np.asarray([o.weight for o in self._op_specs_cold], np.float32))
 
-        def run_one(key, state, stats, T, Tp, n_steps):
-            cond = Conditionals(Posterior(consts, sfp), T, Tp)
-            ops = get_operator_schedule(cond, op_cfg, p_grow)
-            step = make_step_fn(cond, ops)
+        def run(keys, states, stats, T, Tp, n_steps):
+            # keys: (n_chains,) per-chain PRNG keys. The shared per-step
+            # operator draws derive from a master key folded out of the
+            # chain keys (stable under sharding; depends only on keys[0]).
+            master_key = jax.random.fold_in(keys[0], 0x5ba135)
 
-            def body(carry, _):
-                return step(carry), None
+            def apply_one(op_idx, key, state, T_c, Tp_c):
+                cond = Conditionals(Posterior(consts, sfp), T_c, Tp_c)
+                ops = get_operator_schedule(cond, op_cfg, p_grow)
+                apply = make_mh_apply_fn(cond, ops)
+                return apply(op_idx, key, state)
 
-            carry, _ = jax.lax.scan(body, Carry(key, state, stats), length=n_steps)
-            return carry
+            vapply = jax.vmap(apply_one, in_axes=(None, 0, 0, 0, 0))
 
-        vmapped = jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0, None))
-        return jax.jit(vmapped, static_argnums=(5,), donate_argnums=(1, 2))
+            def body(carry, step_key):
+                keys, states, stats = carry
+                op_idx = jax.random.categorical(step_key, jnp.asarray(op_logits))
+                split = jax.vmap(jax.random.split)(keys)
+                keys, k_apply = split[:, 0], split[:, 1]
+                new_states, accept, step_size, nf = vapply(op_idx, k_apply, states, T, Tp)
+                stats = OperatorStats(
+                    accepts=stats.accepts.at[:, op_idx].add(accept.astype(jnp.int32)),
+                    rejects=stats.rejects.at[:, op_idx].add((~accept).astype(jnp.int32)),
+                    step_size_sum=stats.step_size_sum.at[:, op_idx].add(
+                        jnp.where(accept, step_size, 0.0)
+                    ),
+                    non_finite=stats.non_finite + nf.astype(jnp.int32),
+                )
+                return (keys, new_states, stats), None
+
+            step_keys = jax.random.split(master_key, n_steps)
+            (keys, states, stats), _ = jax.lax.scan(body, (keys, states, stats), step_keys)
+            return Carry(keys, states, stats)
+
+        return jax.jit(run, static_argnums=(5,), donate_argnums=(1, 2))
 
     def _build_init_chains(self):
         """Initializer + posterior bookkeeping, vmapped over chains."""
@@ -106,8 +138,7 @@ class SamplerRuntime:
                 n_em_steps=init_cfg.em_steps,
             )
             state = initializer.generate_sample(key)
-            parts = cond.post.parts(state)
-            return state._replace(log_lh=parts.log_lh, log_prior=parts.log_prior)
+            return cond.post.fill_state(state)
 
         return jax.jit(jax.vmap(init_one))
 
@@ -292,8 +323,7 @@ class MCMCSetup:
             p = cond.source_posterior(clusters, weights, src)
             src2 = sample_categorical_onehot(jax.random.fold_in(key, 1), p) & ~na[:, :, None]
             state = state._replace(source=src2)
-            parts = cond.post.parts(state)
-            return state._replace(log_lh=parts.log_lh, log_prior=parts.log_prior)
+            return cond.post.fill_state(state)
 
         state = impute(jax.random.PRNGKey(run))
         return state, int(results.sample_id[-1] + 1)

@@ -16,14 +16,25 @@ import numpy as np
 from sbayes_tpu.model.constants import ModelConstants
 
 
-class ChainState(NamedTuple):
-    """State of one MCMC chain. All leaves are arrays (vmappable)."""
+PRIOR_SIZE, PRIOR_GEO, PRIOR_WEIGHTS, PRIOR_SOURCE = 0, 1, 2, 3
+"""Indices into ChainState.prior_parts."""
 
-    clusters: jnp.ndarray    # bool (K, N) cluster memberships
-    weights: jnp.ndarray     # f32 (F, C) mixture weights per feature
-    source: jnp.ndarray      # bool (N, F, C) one-hot component attribution
-    log_lh: jnp.ndarray      # f32 () current log-likelihood (unheated)
-    log_prior: jnp.ndarray   # f32 () current log-prior (unheated)
+
+class ChainState(NamedTuple):
+    """State of one MCMC chain. All leaves are arrays (vmappable).
+
+    ``prior_parts`` caches the prior decomposition (size, geo, weights,
+    source) so operator branches can statically recompute only the terms
+    they can change — the compile-time analogue of the reference's cache
+    DAG, with ``log_prior == prior_parts.sum()`` as the invariant.
+    """
+
+    clusters: jnp.ndarray     # bool (K, N) cluster memberships
+    weights: jnp.ndarray      # f32 (F, C) mixture weights per feature
+    source: jnp.ndarray       # bool (N, F, C) one-hot component attribution
+    log_lh: jnp.ndarray       # f32 () current log-likelihood (unheated)
+    log_prior: jnp.ndarray    # f32 () current log-prior (unheated)
+    prior_parts: jnp.ndarray  # f32 (4,) [size, geo, weights, source] log-priors
 
     @property
     def n_clusters(self):
@@ -48,6 +59,7 @@ class ChainState(NamedTuple):
             "source": np.asarray(self.source),
             "log_lh": float(self.log_lh),
             "log_prior": float(self.log_prior),
+            "prior_parts": np.asarray(self.prior_parts),
         }
 
     @classmethod
@@ -58,6 +70,9 @@ class ChainState(NamedTuple):
             source=jnp.asarray(d["source"], dtype=bool),
             log_lh=jnp.asarray(d.get("log_lh", -np.inf), dtype=jnp.float32),
             log_prior=jnp.asarray(d.get("log_prior", -np.inf), dtype=jnp.float32),
+            prior_parts=jnp.asarray(
+                d.get("prior_parts", np.full(4, -np.inf)), dtype=jnp.float32
+            ),
         )
 
 
@@ -69,4 +84,5 @@ def empty_state(consts: ModelConstants) -> ChainState:
         source=jnp.zeros((consts.N, consts.F, consts.C), dtype=bool),
         log_lh=jnp.asarray(-jnp.inf, dtype=jnp.float32),
         log_prior=jnp.asarray(-jnp.inf, dtype=jnp.float32),
+        prior_parts=jnp.full((4,), -jnp.inf, dtype=jnp.float32),
     )
