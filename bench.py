@@ -19,6 +19,11 @@ import json
 import time
 from pathlib import Path
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(__file__).replace("bench.py", ".jax_cache_tpu"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import jax
 import jax.numpy as jnp
 
@@ -27,8 +32,8 @@ REFERENCE_MEASURED_STEPS_PER_SEC = 291.7
 NUMBA_HEADROOM_MARGIN = 3.0
 BASELINE_STEPS_PER_SEC = REFERENCE_MEASURED_STEPS_PER_SEC * NUMBA_HEADROOM_MARGIN
 
-N_CHAINS = 256
-CHUNK_STEPS = 1000
+N_CHAINS = 1024
+CHUNK_STEPS = 200
 
 
 def main():
@@ -58,7 +63,7 @@ def main():
     jax.block_until_ready(carry.state)
 
     # Steady-state timing
-    n_chunks = 3
+    n_chunks = 10
     t0 = time.perf_counter()
     for i in range(n_chunks):
         keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(carry.key, i)
@@ -70,7 +75,7 @@ def main():
     steps_per_sec = total_steps / dt
 
     print(json.dumps({
-        "metric": "mcmc_steps_per_sec_per_chip_south_america_shape_256chains",
+        "metric": f"mcmc_steps_per_sec_per_chip_south_america_shape_{N_CHAINS}chains",
         "value": round(steps_per_sec, 1),
         "unit": "steps/sec/chip",
         "vs_baseline": round(steps_per_sec / baseline, 2),

@@ -1,0 +1,140 @@
+"""Pallas TPU kernels: the fused sufficient-statistics + likelihood path.
+
+The reference's only native-code hot spots are three Numba kernels
+(sbayes/util.py:1373 ``dirichlet_categorical_logpdf``,
+likelihood.py:104 ``compute_component_likelihood``, util.py:39 ``gammaln``).
+Their TPU-native equivalent is this fused kernel: for each chain, form the
+source-masked one-hot features in VMEM, contract them onto the MXU to get
+per-group state counts, and reduce the collapsed Dirichlet-categorical
+log-pdf — one pass over HBM for the whole likelihood, no materialized
+(N, F, S) masked intermediates.
+
+Grid: one program per chain; all per-chain tensors fit comfortably in VMEM
+for reference-scale data (e.g. south_america: features 86 KB, source 43 KB).
+Falls back to the XLA einsum path for shapes that exceed VMEM.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET_BYTES = 100 * 1024 * 1024  # leave headroom below ~128MB v5e VMEM limit
+
+
+def _dirichlet_categorical_total(counts, conc):
+    """Scalar sum of the collapsed categorical log-pdf over groups/features.
+
+    counts, conc: (G, F, S); non-applicable states have conc <= 0.
+    """
+    n = counts.sum(-1)
+    sum_a = conc.sum(-1)
+    const = lax.lgamma(sum_a) - lax.lgamma(n + sum_a)
+    series = jnp.where(conc > 0, lax.lgamma(counts + conc) - lax.lgamma(conc), 0.0).sum(-1)
+    return (const + series).sum()
+
+
+def _loglh_kernel(
+    features_ref,   # (N, F*S) f32, shared
+    groups_ref,     # (Cm1*Gmax, N) f32, shared
+    conc_cl_ref,    # (1, F*S) f32, shared (zeros on non-applicable)
+    conc_conf_ref,  # (Cm1*Gmax, F*S) f32, shared
+    clusters_ref,   # (K, N) f32, per chain
+    source_ref,     # (N, F*C) f32, per chain (flattened one-hot)
+    out_ref,        # (1, 1) f32 log-likelihood
+    *,
+    K, N, F, S, C, Gmax,
+):
+    feats = features_ref[...]            # (N, F*S)
+    source = source_ref[0]               # (N, F*C); leading block dim squeezed
+
+    total = jnp.zeros((), jnp.float32)
+
+    # --- cluster component ---
+    src0 = source.reshape(N, F, C)[:, :, 0]                       # (N, F)
+    fx0 = feats.reshape(N, F, S) * src0[:, :, None]               # fused mask
+    cl_counts = jnp.dot(
+        clusters_ref[0], fx0.reshape(N, F * S), preferred_element_type=jnp.float32
+    )  # (K, F*S)
+    conc_cl = conc_cl_ref[...].reshape(1, F, S)
+    total += _dirichlet_categorical_total(
+        cl_counts.reshape(K, F, S), jnp.broadcast_to(conc_cl, (K, F, S))
+    )
+
+    # --- confounder components ---
+    for c in range(C - 1):
+        src_c = source.reshape(N, F, C)[:, :, c + 1]
+        fx = feats.reshape(N, F, S) * src_c[:, :, None]
+        g = groups_ref[c * Gmax : (c + 1) * Gmax, :]              # (Gmax, N)
+        counts = jnp.dot(g, fx.reshape(N, F * S), preferred_element_type=jnp.float32)
+        conc = conc_conf_ref[c * Gmax : (c + 1) * Gmax, :].reshape(Gmax, F, S)
+        total += _dirichlet_categorical_total(counts.reshape(Gmax, F, S), conc)
+
+    out_ref[0, 0] = total
+
+
+def fits_in_vmem(K, N, F, S, C, Gmax) -> bool:
+    """Conservative check that the kernel's working set fits in VMEM."""
+    n_bytes = 4 * (
+        N * F * S            # features
+        + (C - 1) * Gmax * N  # groups
+        + F * S * (1 + (C - 1) * Gmax)  # concentrations
+        + K * N              # clusters
+        + N * F * C          # source
+        + 2 * N * F * S      # masked intermediate + headroom
+    )
+    return n_bytes < VMEM_BUDGET_BYTES
+
+
+def make_pallas_log_likelihood(consts, interpret: bool = False):
+    """Build ``log_lh(clusters_b, source_b) -> (B,)``: the fused Pallas
+    likelihood over a batch of chains.
+
+    Args:
+        consts: ModelConstants.
+        interpret: run in interpreter mode (for CPU tests).
+    """
+    K, N, F, S, C, Gmax = consts.K, consts.N, consts.F, consts.S, consts.C, consts.Gmax
+    features2d = np.asarray(consts.features, np.float32).reshape(N, F * S)
+    groups2d = np.asarray(consts.groups, np.float32).reshape((C - 1) * Gmax, N)
+    conc_cl2d = np.asarray(consts.conc_cluster, np.float32).reshape(1, F * S)
+    conc_conf2d = np.asarray(consts.conc_conf, np.float32).reshape((C - 1) * Gmax, F * S)
+
+    kernel = functools.partial(_loglh_kernel, K=K, N=N, F=F, S=S, C=C, Gmax=Gmax)
+
+    def log_lh_batch(clusters_b, source_b):
+        """clusters_b: (B, K, N) bool; source_b: (B, N, F, C) bool -> (B,) f32."""
+        B = clusters_b.shape[0]
+        clusters_f = clusters_b.astype(jnp.float32)
+        source_f = source_b.astype(jnp.float32).reshape(B, N, F * C)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((N, F * S), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(((C - 1) * Gmax, N), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, F * S), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(((C - 1) * Gmax, F * S), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, F * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            interpret=interpret,
+        )(
+            jnp.asarray(features2d),
+            jnp.asarray(groups2d),
+            jnp.asarray(conc_cl2d),
+            jnp.asarray(conc_conf2d),
+            clusters_f,
+            source_f,
+        )
+        return out[:, 0]
+
+    return log_lh_batch

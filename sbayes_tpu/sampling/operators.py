@@ -83,7 +83,58 @@ class OperatorFactory:
     # Shared cluster-posterior math
     # ==================================================================
 
-    def _log_marginal_with_without(self, state, i_cluster, avail, heated_counts=True):
+    # ------------------------------------------------------------------
+    # Cluster-effect proposal library (reference: ClusterEffectProposals,
+    # operators.py:1252-1379). 'gibbs' is the default used by the
+    # scheduled operators; 'residual' and 'residual_counts' are kept for
+    # capability parity (selectable on the wide operator).
+    # ------------------------------------------------------------------
+
+    def _posterior_counts(self, prior_counts, feature_counts):
+        c = self.consts
+        unif = jnp.asarray(c.unif_conc)
+        return unif + (prior_counts - unif) / self.Tp + feature_counts / self.T
+
+    def cluster_effect_proposal_gibbs(self, state, cl_counts, conf_counts, i_cluster):
+        c = self.consts
+        return normalize(
+            self._posterior_counts(jnp.asarray(c.conc_cluster), cl_counts[i_cluster]), axis=-1
+        )
+
+    def cluster_effect_proposal_residual(self, state, cl_counts, conf_counts, i_cluster):
+        c = self.consts
+        feats = jnp.asarray(c.features)
+        free = (~jnp.any(state.clusters, axis=0)).astype(feats.dtype)
+        counts = jnp.einsum("n,nfs->fs", free, feats)
+        return normalize(self._posterior_counts(jnp.asarray(c.conc_cluster), counts), axis=-1)
+
+    def cluster_effect_proposal_residual_counts(self, state, cl_counts, conf_counts, i_cluster):
+        """Residual counts above the expected confounder mixture, restricted
+        to the objects with above-quantile likelihood contribution
+        (reference: operators.py:1299-1340)."""
+        c = self.consts
+        feats = jnp.asarray(c.features)
+        cluster = state.clusters[i_cluster]
+        free = (~jnp.any(state.clusters, axis=0)) | cluster
+        size = cluster.sum()
+        n_free = free.sum()
+
+        exp_conf = self.cond.expected_confounder_features(state.clusters, state.weights, conf_counts)
+        residual = jnp.clip(feats - exp_conf, 0.0, None) * free[:, None, None]
+        residual_counts = residual.sum(0)
+        conc = jnp.asarray(c.conc_cluster)
+        p = normalize(self._posterior_counts(conc, residual_counts), axis=-1)
+
+        # keep only objects with above-quantile likelihood contribution
+        lh = (p[None] * residual).sum((1, 2))
+        q = 1.0 - size / jnp.maximum(n_free, 1)
+        lh_masked = jnp.where(free, lh, jnp.nan)
+        thresh = jnp.nanquantile(lh_masked, q)
+        relevant = free & (lh >= thresh)
+        residual_counts = (residual * relevant[:, None, None].astype(feats.dtype)).sum(0)
+        return normalize(self._posterior_counts(conc, residual_counts), axis=-1)
+
+    def _log_marginal_with_without(self, state, i_cluster, avail, effect_proposal="gibbs"):
         """log marginal lh of each object with/without cluster membership.
 
         The collapsed membership odds used by the Gibbsish operators
@@ -103,14 +154,8 @@ class OperatorFactory:
 
         cl_counts, conf_counts = cond.post.feature_counts(state.clusters, state.source)
 
-        # Proposal cluster effect (gibbs flavor; reference ClusterEffectProposals.gibbs)
-        p_eff = conditional_effect_mean(
-            prior_counts=jnp.asarray(c.conc_cluster),
-            feature_counts=cl_counts[i_cluster],
-            unif_counts=jnp.asarray(c.unif_conc),
-            prior_temperature=self.Tp,
-            temperature=self.T,
-        )
+        proposal = getattr(self, f"cluster_effect_proposal_{effect_proposal}")
+        p_eff = proposal(state, cl_counts, conf_counts, i_cluster)
         cluster_lh = jnp.einsum("fs,nfs->nf", p_eff, feats)
 
         all_lh = cond.likelihood_per_component(state.clusters, cl_counts, conf_counts)
@@ -134,12 +179,14 @@ class OperatorFactory:
         return log_m0, log_m1
 
     def _cluster_posterior(self, state, i_cluster, avail, consider_geo, geo_scaler=1.0,
-                           additive_smoothing=1e-6, gibbsish=True):
+                           additive_smoothing=1e-6, gibbsish=True, effect_proposal="gibbs"):
         """(N,) membership probability of each object (meaningful at avail)."""
         if self.sample_from_prior or not gibbsish:
             return jnp.full((self.consts.N,), 0.5, jnp.float32)
 
-        log_m0, log_m1 = self._log_marginal_with_without(state, i_cluster, avail)
+        log_m0, log_m1 = self._log_marginal_with_without(
+            state, i_cluster, avail, effect_proposal=effect_proposal
+        )
         if consider_geo:
             geo = self.cond.post.geo_prior_costs_per_object(state.clusters, i_cluster)
             log_m1 = log_m1 + geo / self.Tp / geo_scaler
@@ -265,7 +312,8 @@ class OperatorFactory:
     # ==================================================================
 
     def _make_wide_cluster_probs(self, consider_geo: bool, w_stay: float,
-                                 eps: float, geo_scaler: float) -> Callable:
+                                 eps: float, geo_scaler: float,
+                                 effect_proposal: str = "gibbs") -> Callable:
         """Per-object Bernoulli proposal probabilities of the wide operator
         (reference: compute_cluster_probs, operators.py:1399-1418):
         posterior mixed with the current cluster, rescaled so the expected
@@ -276,6 +324,7 @@ class OperatorFactory:
             p_raw = self._cluster_posterior(
                 state, i_cluster, avail, consider_geo=consider_geo,
                 geo_scaler=geo_scaler, additive_smoothing=0.0,
+                effect_proposal=effect_proposal,
             )
             p_raw = jnp.where(avail, p_raw, 0.0)
             p = (p_raw + EPS32) / jnp.maximum((p_raw + EPS32 * avail).sum(), TINY) * avail
@@ -301,14 +350,17 @@ class OperatorFactory:
         return cluster_probs
 
     def make_alter_cluster_wide(self, consider_geo: bool, w_stay: float = 0.15,
-                                eps: float = None, geo_scaler: float = 2.0) -> Callable:
+                                eps: float = None, geo_scaler: float = 2.0,
+                                effect_proposal: str = "gibbs") -> Callable:
         cond = self.cond
         consts = self.consts
         K, N = consts.K, consts.N
         min_size, max_size = consts.min_size, consts.max_size
         if eps is None:
             eps = 0.01 / consts.N
-        cluster_probs = self._make_wide_cluster_probs(consider_geo, w_stay, eps, geo_scaler)
+        cluster_probs = self._make_wide_cluster_probs(
+            consider_geo, w_stay, eps, geo_scaler, effect_proposal
+        )
 
         def op(key, state):
             k_c, k_draw, k_src = jax.random.split(key, 3)
