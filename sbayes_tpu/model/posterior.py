@@ -50,9 +50,20 @@ class PosteriorParts(NamedTuple):
 class Posterior:
     """Pure functions evaluating likelihood and priors for a model."""
 
-    def __init__(self, consts: ModelConstants, sample_from_prior: bool = False):
+    def __init__(self, consts: ModelConstants, sample_from_prior: bool = False,
+                 use_pallas: bool = False):
         self.consts = consts
         self.sample_from_prior = sample_from_prior
+        # Optional fused Pallas likelihood path (ops/pallas_kernels.py).
+        # Default off: the dev environment's remote-compile tunnel cannot
+        # build Mosaic kernels; the XLA einsum path is equivalent (tested).
+        self.use_pallas = use_pallas
+        self._pallas_loglh = None
+        if use_pallas:
+            from sbayes_tpu.ops.pallas_kernels import fits_in_vmem, make_pallas_log_likelihood
+
+            if fits_in_vmem(consts.K, consts.N, consts.F, consts.S, consts.C, consts.Gmax):
+                self._pallas_loglh = make_pallas_log_likelihood(consts)
 
     # ---------------- mixture components ----------------
 
@@ -68,6 +79,8 @@ class Posterior:
         return lh_cl + lh_conf
 
     def log_likelihood(self, state):
+        if self._pallas_loglh is not None:
+            return self._pallas_loglh(state.clusters[None], state.source[None])[0]
         cl_counts, conf_counts = self.feature_counts(state.clusters, state.source)
         return self.log_likelihood_from_counts(cl_counts, conf_counts)
 

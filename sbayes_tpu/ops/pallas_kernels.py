@@ -12,6 +12,14 @@ log-pdf — one pass over HBM for the whole likelihood, no materialized
 Grid: one program per chain; all per-chain tensors fit comfortably in VMEM
 for reference-scale data (e.g. south_america: features 86 KB, source 43 KB).
 Falls back to the XLA einsum path for shapes that exceed VMEM.
+
+Status: validated against the XLA path in interpreter mode (tests). The
+development environment's remote-compile tunnel currently cannot compile
+Mosaic kernels (its compile-helper subprocess drops the TPU env), so the
+production posterior keeps the XLA einsum path as default; enable the
+Pallas path on real multi-host TPU deployments via Posterior(use_pallas=...).
+lgamma is implemented in-kernel via an 8-step shifted Stirling series
+(Mosaic has no lgamma primitive).
 """
 from __future__ import annotations
 
@@ -27,6 +35,28 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_BUDGET_BYTES = 100 * 1024 * 1024  # leave headroom below ~128MB v5e VMEM limit
 
 
+_HALF_LOG_2PI = 0.9189385332046727
+
+
+def lgamma_stirling(z):
+    """log-gamma for z > 0 via an 8-step shift + Stirling series.
+
+    Mosaic (Pallas TPU) has no lgamma primitive; this uses only log and
+    polynomials (VPU-friendly). Shifting guarantees the series argument is
+    >= 8 where the 3-term Stirling expansion is accurate to ~1e-7:
+    lgamma(z) = lgamma(z+8) - sum_{k=0..7} log(z+k).
+    """
+    shift_logs = jnp.zeros_like(z)
+    zz = z
+    for _ in range(8):
+        shift_logs = shift_logs + jnp.log(zz)
+        zz = zz + 1.0
+    inv = 1.0 / zz
+    inv2 = inv * inv
+    series = inv * (1.0 / 12.0 + inv2 * (-1.0 / 360.0 + inv2 * (1.0 / 1260.0)))
+    return (zz - 0.5) * jnp.log(zz) - zz + _HALF_LOG_2PI + series - shift_logs
+
+
 def _dirichlet_categorical_total(counts, conc):
     """Scalar sum of the collapsed categorical log-pdf over groups/features.
 
@@ -34,8 +64,11 @@ def _dirichlet_categorical_total(counts, conc):
     """
     n = counts.sum(-1)
     sum_a = conc.sum(-1)
-    const = lax.lgamma(sum_a) - lax.lgamma(n + sum_a)
-    series = jnp.where(conc > 0, lax.lgamma(counts + conc) - lax.lgamma(conc), 0.0).sum(-1)
+    const = lgamma_stirling(sum_a) - lgamma_stirling(n + sum_a)
+    safe_conc = jnp.maximum(conc, 1e-6)
+    series = jnp.where(
+        conc > 0, lgamma_stirling(counts + safe_conc) - lgamma_stirling(safe_conc), 0.0
+    ).sum(-1)
     return (const + series).sum()
 
 
@@ -75,7 +108,9 @@ def _loglh_kernel(
         conc = conc_conf_ref[c * Gmax : (c + 1) * Gmax, :].reshape(Gmax, F, S)
         total += _dirichlet_categorical_total(counts.reshape(Gmax, F, S), conc)
 
-    out_ref[0, 0] = total
+    # The output block covers the whole (B, 1) array; each grid step writes
+    # its own row (TPU lowering requires full-array or tile-aligned blocks).
+    out_ref[pl.program_id(0), 0] = total
 
 
 def fits_in_vmem(K, N, F, S, C, Gmax) -> bool:
@@ -124,7 +159,7 @@ def make_pallas_log_likelihood(consts, interpret: bool = False):
                 pl.BlockSpec((1, K, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, N, F * C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM),
+            out_specs=pl.BlockSpec((B, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
             interpret=interpret,
         )(
