@@ -92,6 +92,31 @@ def main(
     if isinstance(n_clusters, int):
         n_clusters = [n_clusters]
 
+    mc3_active = experiment.config.mcmc.mc3.activate
+
+    if processes <= 1 and len(i_run_range) > 1 and not resume and not mc3_active:
+        # TPU fast path: all runs of one K execute as a single vmapped
+        # ensemble (the reference loops them sequentially / via a pool).
+        for k in n_clusters:
+            run_settings = deepcopy(custom_settings) if custom_settings else {}
+            update_recursive(run_settings, {"model": {"clusters": int(k)}})
+            ensemble_experiment = Experiment(
+                config_file=config,
+                experiment_name=experiment.experiment_name,
+                custom_settings=run_settings,
+                log=True,
+                i_run=i_run_range[0],
+            )
+            from sbayes_tpu.data.loader import Data
+            from sbayes_tpu.sampling.runner import MCMCSetup
+
+            data = Data.from_experiment(ensemble_experiment)
+            data.logger = None
+            mcmc = MCMCSetup(data=data, experiment=ensemble_experiment)
+            mcmc.log_setup()
+            mcmc.sample_ensemble(run_ids=i_run_range, resume=False)
+        return
+
     run_configurations = list(
         product(i_run_range, n_clusters, [config], [experiment.experiment_name],
                 [custom_settings], [resume])

@@ -731,6 +731,7 @@ class OperatorSpec(NamedTuple):
     weight: float
     fn: Callable
     changes: str = "clusters"
+    parameters: dict = {}
     """Which state group the operator can modify: 'clusters' (may touch
     everything), 'source' (source array only) or 'weights' (weights only).
     The MH kernel uses this STATICALLY to recompute only the posterior
@@ -762,31 +763,31 @@ def get_operator_schedule(
     ops = [
         OperatorSpec("cluster_naive_n1", 0.025 * w_c,
                      factory.make_alter_cluster(gibbsish=False, neighbourhood="direct", consider_geo=False),
-                     "clusters"),
+                     "clusters", {"neighbours": "direct", "gibbsish": False}),
         OperatorSpec("cluster_naive_n1_geo", 0.025 * w_c,
                      factory.make_alter_cluster(gibbsish=False, neighbourhood="direct", consider_geo=False),
-                     "clusters"),
+                     "clusters", {"neighbours": "direct", "gibbsish": False}),
         OperatorSpec("cluster_naive_n2_geo", 0.025 * w_c,
                      factory.make_alter_cluster(gibbsish=False, neighbourhood="twostep", consider_geo=False),
-                     "clusters"),
+                     "clusters", {"neighbours": "twostep", "gibbsish": False}),
         OperatorSpec("cluster_gibbsish", 0.025 * w_c,
                      factory.make_alter_cluster(gibbsish=True, neighbourhood="everywhere", consider_geo=False),
                      "clusters"),
         OperatorSpec("cluster_gibbsish_geo", 0.6 * w_c,
                      factory.make_alter_cluster(gibbsish=True, neighbourhood="everywhere", consider_geo=geo_on),
-                     "clusters"),
+                     "clusters", {"geo": geo_on}),
         OperatorSpec("gibbsish_sample_cluster_wide_geo", 0.05 * w_c,
                      factory.make_alter_cluster_wide(consider_geo=geo_on),
-                     "clusters"),
+                     "clusters", {"geo": geo_on, "w_stay": 0.15}),
         OperatorSpec("cluster_jump_gibbsish", 0.25 * w_c if consts.K > 1 else 0.0,
                      factory.make_cluster_jump(gibbsish=True),
                      "clusters"),
         OperatorSpec("gibbs_sample_sources", 0.4 * w_s,
                      factory.make_gibbs_sample_source("random_subset", max_size=20),
-                     "source"),
+                     "source", {"object_selector": "RANDOM_SUBSET", "max_step_size": 20}),
         OperatorSpec("gibbs_sample_sources_groups", 0.6 * w_s,
                      factory.make_gibbs_sample_source("groups", max_size=30),
-                     "source"),
+                     "source", {"object_selector": "GROUPS", "max_step_size": 30}),
         OperatorSpec("gibbs_sample_weights", 1.0 * w_w,
                      factory.make_gibbs_sample_weights(),
                      "weights"),

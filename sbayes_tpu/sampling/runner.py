@@ -358,6 +358,87 @@ class MCMCSetup:
             i_step_start=i_step_start, key=k_run, run=run,
         )
 
+    # -------------------- ensemble sampling (multiple runs at once) --------------------
+
+    def sample_ensemble(self, run_ids, resume: bool = False, seed: int = 0):
+        """Execute ALL requested run IDs as ONE vmapped chain ensemble.
+
+        The reference executes `mcmc.runs` independent repetitions
+        sequentially (or via an OS process pool, cli.py:98-109); on TPU the
+        whole batch of runs is a single chain axis — R runs cost barely
+        more than one. Each run keeps its own results files, warm-up race
+        and RNG stream, so outputs are bit-compatible with R separate runs
+        of this sampler.
+        """
+        cfg = self.config.mcmc
+        rt = self.runtime
+        R = len(run_ids)
+        if R == 1 or resume:
+            # resume paths can have differing i_step offsets -> sequential
+            for r in run_ids:
+                self.sample(resume=resume, run=r, seed=seed)
+            return
+
+        loggers_by_run = [self.get_sample_loggers(r, resume) for r in run_ids]
+
+        # Warm-up races for all runs at once: (R x W) chains, best-of-W per run
+        W = cfg.warmup.warmup_chains
+        t0 = time.time()
+        k_init = jax.random.PRNGKey(seed + 101)
+        states_rw = rt.init_chains(k_init, R * W)
+        if cfg.warmup.warmup_steps > 0:
+            stats_rw = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(R * W))
+            ones_rw = jnp.ones(R * W, jnp.float32)
+            carry = rt.run_chunk(
+                jax.random.split(jax.random.fold_in(k_init, 1), R * W),
+                states_rw, stats_rw, ones_rw, ones_rw, cfg.warmup.warmup_steps,
+            )
+            states_rw = carry.state
+        ll_rw = np.asarray(states_rw.log_lh).reshape(R, W)
+        best = ll_rw.argmax(axis=1)
+        sel = jnp.asarray(best + np.arange(R) * W)
+        states = jax.tree.map(lambda x: x[sel], states_rw)
+        self.logger.info(
+            f"Warm-up for {R} runs ({R * W} chains) finished after {time.time() - t0:.1f}s; "
+            f"best warm-up log-likelihoods: {ll_rw.max(axis=1).round(2).tolist()}"
+        )
+
+        steps_per_sample = int(math.ceil(cfg.steps / cfg.samples))
+        stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(R))
+        ones = jnp.ones(R, jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(seed + 7), R)
+
+        self.t_start = time.time()
+        self.logger.info(f"Sampling from posterior ({R} runs as one ensemble)...")
+        log_every = max(1, int(round(cfg.screen_log_interval / steps_per_sample)))
+        i_step = 0
+        for i_sample in range(cfg.samples):
+            carry = rt.run_chunk(keys, states, stats, ones, ones, steps_per_sample)
+            keys, states, stats = carry.key, carry.state, carry.stats
+            i_step += steps_per_sample
+
+            if int(jax.device_get(stats.non_finite.sum())) > 0:
+                raise ValueError("Non-finite log-posterior was accepted during MCMC.")
+
+            for i_r, r in enumerate(run_ids):
+                state_c = jax.tree.map(lambda x: x[i_r], states)
+                record = rt.make_record(state_c, i_step=i_step, chain=0)
+                self._push_operator_stats(loggers_by_run[i_r], stats, chain_idx=i_r,
+                                          elapsed=time.time() - self.t_start,
+                                          steps_done=i_step)
+                for logger in loggers_by_run[i_r]:
+                    logger.write_sample(record)
+
+            if (i_sample + 1) % log_every == 0:
+                self._print_screen_log(i_step, float(states.log_lh[0]))
+
+        for run_loggers in loggers_by_run:
+            for logger in run_loggers:
+                logger.close()
+        self.logger.info(
+            f"{R}-run ensemble finished after {time.time() - self.t_start:.1f} seconds"
+        )
+
     def _sample_loop(self, state: ChainState, sample_loggers, n_steps: int, n_samples: int,
                      i_step_start: int, key, run: int):
         rt = self.runtime
@@ -412,6 +493,7 @@ class MCMCSetup:
                 rejects=int(rejects[i]),
                 step_size_sum=float(sss[i]),
                 mean_step_time_s=mean_step_time,
+                parameters=self.runtime._op_specs_cold[i].parameters,
             )
             for i in range(self.runtime.n_ops)
         ]

@@ -1,0 +1,36 @@
+"""Multi-run ensemble: all `runs` execute as one vmapped batch via the CLI."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def test_cli_multi_run_ensemble(tmp_path):
+    from sbayes_tpu.cli import main
+    from sbayes_tpu.results.results import Results
+
+    main(
+        config=FIXTURES / "config.yaml",
+        experiment_name="ens",
+        custom_settings={
+            "results": {"path": str(tmp_path)},
+            "mcmc": {"steps": 200, "samples": 10, "runs": 3,
+                     "warmup": {"warmup_steps": 20, "warmup_chains": 2}},
+        },
+        processes=1,
+        resume=False,
+    )
+
+    lls = []
+    for r in range(3):
+        stats = tmp_path / "ens" / "K1" / f"stats_K1_{r}.txt"
+        clusters = tmp_path / "ens" / "K1" / f"clusters_K1_{r}.txt"
+        assert stats.exists() and clusters.exists(), f"missing run {r} files"
+        res = Results.from_csv_files(clusters, stats, burn_in=0.0)
+        assert res.n_samples == 10
+        lls.append(res.likelihood)
+    # runs are independent: their trajectories differ
+    assert not np.allclose(lls[0], lls[1])
+    assert not np.allclose(lls[1], lls[2])
