@@ -42,30 +42,24 @@ N_CHAINS = 1024
 CHUNK_STEPS = 200
 
 
-def main():
+def _measure(n_chains: int, chunk_steps: int) -> float:
     from sbayes_tpu.model.model import Model
     from sbayes_tpu.sampling.kernel import OperatorStats
     from sbayes_tpu.sampling.runner import SamplerRuntime
     from sbayes_tpu.testing import synthetic_config, synthetic_data
-
-    baseline_file = Path(__file__).parent / "benchmarks" / "reference_baseline.json"
-    baseline = BASELINE_STEPS_PER_SEC
-    if baseline_file.exists():
-        measured = json.loads(baseline_file.read_text())["steps_per_sec"]
-        baseline = measured * NUMBA_HEADROOM_MARGIN
 
     data = synthetic_data(n_objects=100, n_features=36, n_states=6, n_families=6, seed=0)
     config = synthetic_config(n_clusters=3, geo_prior="uniform")
     model = Model(data, config.model)
     rt = SamplerRuntime(model, config.mcmc, sample_from_prior=False)
 
-    states = rt.init_chains(jax.random.PRNGKey(0), N_CHAINS)
-    stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(N_CHAINS))
-    ones = jnp.ones(N_CHAINS, jnp.float32)
-    keys = jax.random.split(jax.random.PRNGKey(1), N_CHAINS)
+    states = rt.init_chains(jax.random.PRNGKey(0), n_chains)
+    stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(n_chains))
+    ones = jnp.ones(n_chains, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
 
     # Compile + warm up
-    carry = rt.run_chunk(keys, states, stats, ones, ones, CHUNK_STEPS)
+    carry = rt.run_chunk(keys, states, stats, ones, ones, chunk_steps)
     jax.block_until_ready(carry.state)
 
     # Steady-state timing
@@ -73,15 +67,52 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_chunks):
         keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(carry.key, i)
-        carry = rt.run_chunk(keys, carry.state, carry.stats, ones, ones, CHUNK_STEPS)
+        carry = rt.run_chunk(keys, carry.state, carry.stats, ones, ones, chunk_steps)
     jax.block_until_ready(carry.state)
     dt = time.perf_counter() - t0
+    return n_chunks * chunk_steps * n_chains / dt
 
-    total_steps = n_chunks * CHUNK_STEPS * N_CHAINS
-    steps_per_sec = total_steps / dt
+
+def main():
+    baseline_file = Path(__file__).parent / "benchmarks" / "reference_baseline.json"
+    baseline = BASELINE_STEPS_PER_SEC
+    if baseline_file.exists():
+        measured = json.loads(baseline_file.read_text())["steps_per_sec"]
+        baseline = measured * NUMBA_HEADROOM_MARGIN
+
+    # The remote-compile tunnel in this environment is occasionally flaky
+    # for large batch sizes; guard each attempt with an alarm and fall back
+    # to smaller (cached) ensemble sizes rather than hanging the driver.
+    import signal
+
+    def attempt(n_chains, timeout_s):
+        def _raise(signum, frame):
+            raise TimeoutError(f"bench attempt at {n_chains} chains timed out")
+
+        old = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(timeout_s)
+        try:
+            return _measure(n_chains, CHUNK_STEPS)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    steps_per_sec, used_chains = None, None
+    for n_chains, timeout_s in [(N_CHAINS, 420), (256, 300)]:
+        try:
+            steps_per_sec, used_chains = attempt(n_chains, timeout_s), n_chains
+            break
+        except Exception as e:  # noqa: BLE001 - fall back to the next size
+            print_err = f"bench attempt with {n_chains} chains failed: {type(e).__name__}: {e}"
+            import sys
+
+            print(print_err, file=sys.stderr)
+
+    if steps_per_sec is None:
+        raise SystemExit("all bench attempts failed")
 
     print(json.dumps({
-        "metric": f"mcmc_steps_per_sec_per_chip_south_america_shape_{N_CHAINS}chains",
+        "metric": f"mcmc_steps_per_sec_per_chip_south_america_shape_{used_chains}chains",
         "value": round(steps_per_sec, 1),
         "unit": "steps/sec/chip",
         "vs_baseline": round(steps_per_sec / baseline, 2),
