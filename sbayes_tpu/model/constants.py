@@ -278,27 +278,32 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
     sp_cfg = config.prior.objects_per_cluster
     size_prior_type = sp_cfg.type.value
 
+    # Place the big arrays on device NOW: closure-captured device arrays are
+    # hoisted to executable parameters, whereas NumPy constants get embedded
+    # as HLO literals (which bloats every compile and breaks at large N*F).
+    import jax.numpy as jnp
+
     return ModelConstants(
         shapes=shapes,
-        features=features.values.astype(FLOAT_TYPE),
-        na=features.na_values.astype(bool),
-        applicable=applicable,
-        n_states_per_feature=applicable.sum(-1).astype(FLOAT_TYPE),
+        features=jnp.asarray(features.values.astype(FLOAT_TYPE)),
+        na=jnp.asarray(features.na_values.astype(bool)),
+        applicable=jnp.asarray(applicable),
+        n_states_per_feature=jnp.asarray(applicable.sum(-1).astype(FLOAT_TYPE)),
         conf_names=conf_names,
         group_names=group_names,
-        groups=groups,
-        group_valid=group_valid,
+        groups=jnp.asarray(groups),
+        group_valid=jnp.asarray(group_valid),
         n_groups=n_groups_arr,
-        hc_conf=hc_conf,
-        conc_cluster=conc_cluster,
-        unif_conc=unif_conc,
-        conc_conf=conc_conf,
-        conc_weights=conc_weights,
+        hc_conf=jnp.asarray(hc_conf),
+        conc_cluster=jnp.asarray(conc_cluster),
+        unif_conc=jnp.asarray(unif_conc),
+        conc_conf=jnp.asarray(conc_conf),
+        conc_weights=jnp.asarray(conc_weights),
         weights_prior_uniform=weights_prior_uniform,
         geo=geo,
-        cost_matrix=cost_matrix,
-        adjacency=adjacency,
-        locations=np.asarray(data.objects.locations, dtype=FLOAT_TYPE),
+        cost_matrix=jnp.asarray(cost_matrix),
+        adjacency=jnp.asarray(adjacency),
+        locations=jnp.asarray(np.asarray(data.objects.locations, dtype=FLOAT_TYPE)),
         size_prior_type=size_prior_type,
         min_size=int(sp_cfg.min),
         max_size=int(min(sp_cfg.max, N)),
