@@ -56,16 +56,15 @@ class Initializer:
         self.ml_step = self.factory.make_ml_cluster_step(consider_geo=True)
 
         # Static group-availability rows: K cluster rows (everywhere) + the
-        # actual confounder groups.
-        import numpy as np
-
+        # actual confounder groups. Built with jnp so construction also
+        # works inside a trace (consts hold device arrays).
         c = self.consts
-        rows = [np.ones((c.K, c.N), bool)]
+        rows = [jnp.ones((c.K, c.N), bool)]
         for i_c in range(len(c.conf_names)):
             ng = int(c.n_groups[i_c])
-            rows.append(np.asarray(c.groups[i_c, :ng] > 0))
-        self.groups_available = np.concatenate(rows, axis=0)  # (G_all, N)
-        self.n_em_groups = self.groups_available.shape[0]
+            rows.append(jnp.asarray(c.groups)[i_c, :ng] > 0)
+        self.groups_available = jnp.concatenate(rows, axis=0)  # (G_all, N)
+        self.n_em_groups = int(self.groups_available.shape[0])
 
     # ------------------------------------------------------------------
 
