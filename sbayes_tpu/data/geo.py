@@ -14,11 +14,9 @@ Implementation notes (TPU-rebuild deltas):
 """
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 from numpy.typing import NDArray
 from scipy.sparse import csr_matrix
 import scipy.spatial as spatial

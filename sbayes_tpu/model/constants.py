@@ -8,7 +8,7 @@ concentrations are parsed host-side from the same YAML/JSON formats.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Optional
 
@@ -17,7 +17,6 @@ import yaml
 from numpy.typing import NDArray
 
 from sbayes_tpu.config.schema import (
-    ClusterSizePriorConfig,
     DirichletPriorConfig,
     GeoPriorConfig,
     ModelConfig,

@@ -23,7 +23,7 @@ import numpy as np
 from numpy.typing import NDArray
 
 from sbayes_tpu.model.constants import ModelConstants
-from sbayes_tpu.utils import FLOAT_TYPE, format_cluster_columns, get_best_permutation
+from sbayes_tpu.utils import format_cluster_columns, get_best_permutation
 
 
 @dataclass

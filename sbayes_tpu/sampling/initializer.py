@@ -14,8 +14,6 @@ Everything is jittable; attempts can be vmapped.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

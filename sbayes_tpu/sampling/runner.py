@@ -17,7 +17,6 @@ import math
 import pickle
 import time
 from datetime import timedelta
-from functools import partial
 from pathlib import Path
 from typing import Optional
 

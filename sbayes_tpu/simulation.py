@@ -27,7 +27,6 @@ from sbayes_tpu.utils import (
     decompose_config_path,
     fix_relative_path,
     iter_items_recursive,
-    normalize,
     set_defaults,
 )
 
