@@ -78,7 +78,8 @@ class Conditionals:
         lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
         return jnp.where(jnp.asarray(c.na)[:, :, None], 1.0, lh)
 
-    def component_likelihood_given_unchanged(self, clusters, source, subset, i_cluster):
+    def component_likelihood_given_unchanged(self, clusters, source, subset, i_cluster,
+                                             conf_counts_full=None):
         """(N, F, C) heated component likelihoods with the subset's own
         contribution removed from the effect estimates.
 
@@ -107,11 +108,14 @@ class Conditionals:
         lh0 = jnp.einsum("fs,nfs->nf", cluster_effect, feats)
 
         # Confounder components: full counts minus subset contribution.
+        # ``conf_counts_full`` (counts of `source` over the static groups)
+        # can be passed in to reuse the step's forward count computation.
         srcc = source[:, :, 1:].astype(dtype)
         groups = jnp.asarray(c.groups)
         changeable = jnp.einsum("cgn,n,nfc,nfs->cgfs", groups, sub, srcc, feats)
-        full = jnp.einsum("cgn,nfc,nfs->cgfs", groups, srcc, feats)
-        unchangeable = full - changeable
+        if conf_counts_full is None:
+            conf_counts_full = jnp.einsum("cgn,nfc,nfs->cgfs", groups, srcc, feats)
+        unchangeable = conf_counts_full - changeable
         conf_effect = conditional_effect_mean(
             prior_counts=jnp.asarray(c.conc_conf),
             feature_counts=unchangeable,
@@ -195,7 +199,8 @@ class Conditionals:
         chosen = (p * source).sum(-1)
         return jnp.where(valid, jnp.log(jnp.maximum(chosen, 1e-35)), 0.0).sum()
 
-    def gibbs_resample_source(self, key, state_old, clusters_new, subset, i_cluster) -> SourceResample:
+    def gibbs_resample_source(self, key, state_old, clusters_new, subset, i_cluster,
+                              conf_counts_full=None) -> SourceResample:
         """Resample ``source`` rows in ``subset`` from their collapsed
         conditional, leaving out the subset's own contribution.
 
@@ -207,7 +212,8 @@ class Conditionals:
         na = jnp.asarray(c.na)
 
         lh_pc = self.component_likelihood_given_unchanged(
-            clusters_new, state_old.source, subset, i_cluster
+            clusters_new, state_old.source, subset, i_cluster,
+            conf_counts_full=conf_counts_full,
         )
 
         w_new = normalize_weights(state_old.weights, self.post.has_components(clusters_new))

@@ -134,7 +134,8 @@ class OperatorFactory:
         residual_counts = (residual * relevant[:, None, None].astype(feats.dtype)).sum(0)
         return normalize(self._posterior_counts(conc, residual_counts), axis=-1)
 
-    def _log_marginal_with_without(self, state, i_cluster, avail, effect_proposal="gibbs"):
+    def _log_marginal_with_without(self, state, i_cluster, avail, effect_proposal="gibbs",
+                                   counts=None):
         """log marginal lh of each object with/without cluster membership.
 
         The collapsed membership odds used by the Gibbsish operators
@@ -152,7 +153,9 @@ class OperatorFactory:
         feats = jnp.asarray(c.features)
         na = jnp.asarray(c.na)
 
-        cl_counts, conf_counts = cond.post.feature_counts(state.clusters, state.source)
+        if counts is None:
+            counts = cond.post.feature_counts(state.clusters, state.source)
+        cl_counts, conf_counts = counts
 
         proposal = getattr(self, f"cluster_effect_proposal_{effect_proposal}")
         p_eff = proposal(state, cl_counts, conf_counts, i_cluster)
@@ -179,13 +182,14 @@ class OperatorFactory:
         return log_m0, log_m1
 
     def _cluster_posterior(self, state, i_cluster, avail, consider_geo, geo_scaler=1.0,
-                           additive_smoothing=1e-6, gibbsish=True, effect_proposal="gibbs"):
+                           additive_smoothing=1e-6, gibbsish=True, effect_proposal="gibbs",
+                           counts=None):
         """(N,) membership probability of each object (meaningful at avail)."""
         if self.sample_from_prior or not gibbsish:
             return jnp.full((self.consts.N,), 0.5, jnp.float32)
 
         log_m0, log_m1 = self._log_marginal_with_without(
-            state, i_cluster, avail, effect_proposal=effect_proposal
+            state, i_cluster, avail, effect_proposal=effect_proposal, counts=counts
         )
         if consider_geo:
             geo = self.cond.post.geo_prior_costs_per_object(state.clusters, i_cluster)
@@ -224,18 +228,19 @@ class OperatorFactory:
         min_size, max_size = consts.min_size, consts.max_size
         p_grow = self.p_grow
 
-        def posterior(state, i_cluster, avail):
+        def posterior(state, i_cluster, avail, counts=None):
             return self._cluster_posterior(
-                state, i_cluster, avail, consider_geo=consider_geo, gibbsish=gibbsish
+                state, i_cluster, avail, consider_geo=consider_geo, gibbsish=gibbsish,
+                counts=counts,
             )
 
-        def grow(key, state, i_cluster):
+        def grow(key, state, i_cluster, counts):
             k_obj, k_src = jax.random.split(key)
             cluster = state.clusters[i_cluster]
             cand = self._grow_candidates(state.clusters, i_cluster, neighbourhood)
             size = cluster.sum()
 
-            p_post = _heat_prob(posterior(state, i_cluster, cand), self.T)
+            p_post = _heat_prob(posterior(state, i_cluster, cand, counts), self.T)
             p_vec = jnp.where(cand, p_post, 0.0)
             total = p_vec.sum()
             rejected = (~jnp.any(cand)) | (size >= max_size) | (total <= 0)
@@ -245,7 +250,8 @@ class OperatorFactory:
 
             clusters_new = state.clusters.at[i_cluster, obj].set(True)
             subset = jnp.zeros(N, bool).at[obj].set(True)
-            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_cluster)
+            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_cluster,
+                                            conf_counts_full=counts[1])
             state_new = state._replace(clusters=clusters_new, source=rs.source)
 
             # Backward: removal probability in the new state
@@ -261,12 +267,12 @@ class OperatorFactory:
             res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
             return _select_result(rejected, _reject(state), res)
 
-        def shrink(key, state, i_cluster):
+        def shrink(key, state, i_cluster, counts):
             k_obj, k_src = jax.random.split(key)
             cluster = state.clusters[i_cluster]
             n_cand = cluster.sum()
 
-            p_post = _heat_prob(posterior(state, i_cluster, cluster), self.T)
+            p_post = _heat_prob(posterior(state, i_cluster, cluster, counts), self.T)
             x = jnp.where(cluster, 1.0 - p_post, 0.0)
             rejected = (n_cand <= min_size) | (x.sum() <= 0)
             p_remove = x / jnp.maximum(x.sum(), TINY)
@@ -274,7 +280,8 @@ class OperatorFactory:
             obj = _masked_categorical(k_obj, x, cluster)
             clusters_new = state.clusters.at[i_cluster, obj].set(False)
             subset = jnp.zeros(N, bool).at[obj].set(True)
-            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_cluster)
+            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_cluster,
+                                            conf_counts_full=counts[1])
             state_new = state._replace(clusters=clusters_new, source=rs.source)
 
             # Backward: add probability in the new state
@@ -298,8 +305,9 @@ class OperatorFactory:
             boundary = at_min | at_max
             do_grow = jnp.where(at_min, True, jnp.where(at_max, False, jax.random.uniform(k_g) < p_grow))
 
-            res = lax.cond(do_grow, lambda: grow(k_branch, state, i_cluster),
-                           lambda: shrink(k_branch, state, i_cluster))
+            counts = cond.post.feature_counts(state.clusters, state.source)
+            res = lax.cond(do_grow, lambda: grow(k_branch, state, i_cluster, counts),
+                           lambda: shrink(k_branch, state, i_cluster, counts))
             # Boundary correction -log(2) on the backward probability
             corr = jnp.where(boundary & jnp.isfinite(res.log_q_back), -jnp.log(2.0), 0.0)
             return res._replace(log_q_back=res.log_q_back + corr)
@@ -319,12 +327,12 @@ class OperatorFactory:
         posterior mixed with the current cluster, rescaled so the expected
         proposal size matches the current size."""
 
-        def cluster_probs(state, i_cluster, avail):
+        def cluster_probs(state, i_cluster, avail, counts=None):
             cluster = state.clusters[i_cluster]
             p_raw = self._cluster_posterior(
                 state, i_cluster, avail, consider_geo=consider_geo,
                 geo_scaler=geo_scaler, additive_smoothing=0.0,
-                effect_proposal=effect_proposal,
+                effect_proposal=effect_proposal, counts=counts,
             )
             p_raw = jnp.where(avail, p_raw, 0.0)
             p = (p_raw + EPS32) / jnp.maximum((p_raw + EPS32 * avail).sum(), TINY) * avail
@@ -368,7 +376,8 @@ class OperatorFactory:
             cluster_old = state.clusters[i_cluster]
             avail = (~self._occupied(state.clusters)) | cluster_old
 
-            p = cluster_probs(state, i_cluster, avail)
+            counts = cond.post.feature_counts(state.clusters, state.source)
+            p = cluster_probs(state, i_cluster, avail, counts)
 
             # Redraw until the proposal differs from the current cluster
             def draw(k):
@@ -399,7 +408,8 @@ class OperatorFactory:
 
             clusters_new = state.clusters.at[i_cluster].set(cluster_new)
             changed = cluster_old != cluster_new
-            rs = cond.gibbs_resample_source(k_src, state, clusters_new, changed, i_cluster)
+            rs = cond.gibbs_resample_source(k_src, state, clusters_new, changed, i_cluster,
+                                            conf_counts_full=counts[1])
             state_new = state._replace(clusters=clusters_new, source=rs.source)
 
             p_back = cluster_probs(state_new, i_cluster, avail)
@@ -516,7 +526,8 @@ class OperatorFactory:
             obj = _masked_categorical(k_obj, pj_vec, source_cluster)
             clusters_new = state.clusters.at[i_src, obj].set(False).at[i_tgt, obj].set(True)
             subset = jnp.zeros(N, bool).at[obj].set(True)
-            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_tgt)
+            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_tgt,
+                                            conf_counts_full=conf_counts)
             state_new = state._replace(clusters=clusters_new, source=rs.source)
 
             cl_counts2, conf_counts2 = cond.post.feature_counts(clusters_new, state_new.source)
