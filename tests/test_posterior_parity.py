@@ -93,3 +93,18 @@ def test_posterior_parity(tmp_path):
             )
 
     assert not failures, "Posterior parity violations:\n" + "\n".join(failures)
+
+    # ---- weights marginal parity (looser: posterior means within IS MC error) ----
+    w_ref = np.asarray(ref.weights)  # (n_ref, F, C)
+    mean_ref = np.einsum("r,rfc->fc", w, w_ref)
+    # IS standard error of the mean per component
+    se_ref = np.sqrt(np.einsum("r,rfc->fc", w**2, (w_ref - mean_ref[None]) ** 2))
+    mcmc_means = np.stack(
+        [results.weights[f].mean(axis=0) for f in results.feature_names]
+    )  # (F, C)
+    # MCMC has its own (autocorrelated) error; allow a generous combined band
+    err = np.abs(mcmc_means - mean_ref)
+    tol = 6 * se_ref + 0.05
+    assert np.all(err < tol), (
+        f"weights marginals off:\nmcmc=\n{mcmc_means}\nref=\n{mean_ref}\nse=\n{se_ref}"
+    )
