@@ -55,6 +55,10 @@ class SampleRecord:
             "source": self.source,
             "log_lh": self.log_lh,
             "log_prior": self.log_prior,
+            "prior_parts": np.asarray(
+                [self.size_prior, self.geo_prior, self.weights_prior, self.source_prior],
+                dtype=np.float32,
+            ),
             "i_step": self.i_step,
         }
 

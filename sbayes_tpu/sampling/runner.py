@@ -291,6 +291,11 @@ class MCMCSetup:
         with open(path, "rb") as f:
             d = pickle.load(f)
         state = ChainState.from_numpy(d)
+        # Recompute the posterior bookkeeping: robust against checkpoints
+        # missing prior_parts (stale parts would bias the specialized
+        # source/weights MH updates after resume).
+        cond = Conditionals(Posterior(self.model.consts, self.config.mcmc.sample_from_prior))
+        state = jax.jit(cond.post.fill_state)(state)
         return state, int(d.get("i_step", 0))
 
     def _resume_from_results(self, run: int, chain: int = 0) -> tuple[ChainState, int]:
