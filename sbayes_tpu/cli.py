@@ -151,6 +151,8 @@ def cli(args=None):
     config = ns.config
     if config is None:
         parser.error("A config file is required.")
+    if not Path(config).is_file():
+        parser.error(f"Config file not found: {config}")
 
     main(config=config, experiment_name=ns.name, processes=ns.threads,
          resume=ns.resume, n_clusters=ns.numClusters, i_run=ns.runID)

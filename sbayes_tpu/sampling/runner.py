@@ -479,6 +479,7 @@ class MCMCSetup:
 
             if (i_sample + 1) % log_every == 0:
                 self._print_screen_log(i_step, record.log_lh, i_step_start)
+                self._print_memory_usage()
 
         for logger in sample_loggers:
             logger.close()
@@ -504,6 +505,12 @@ class MCMCSetup:
         for logger in sample_loggers:
             if isinstance(logger, OperatorStatsLogger):
                 logger.operators = views
+
+    def _print_memory_usage(self):
+        """Host memory telemetry (reference: mcmc.py:254-255, 363-364)."""
+        from sbayes_tpu.utils import process_memory
+
+        self.logger.info(f"Memory usage: {process_memory(unit='MB')} MB")
 
     def _print_screen_log(self, i_step: int, likelihood: float, i_step_start: int = 0):
         time_per_million = (time.time() - self.t_start) / max(i_step - i_step_start, 1) * 1_000_000
