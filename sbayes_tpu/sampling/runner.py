@@ -8,8 +8,9 @@ Counterpart of the reference's ``MCMCSetup`` + ``MCMC.generate_samples``
   traced inputs, so an MC3 ladder costs one compilation.
 * The hot loop runs on device in chunks of ``steps_per_sample`` steps; the
   host only syncs at sample-logging boundaries (1000ish times per run).
-* MC3 swaps happen at swap intervals on tiny (log_lh, log_prior) scalars —
-  the permutation is applied to the chain axis on device.
+* MC3 runs FULLY on device: subchains and swap proposals are fused into
+  one jitted scan (swaps permute the chain axis in-scan); the host syncs
+  only at sample-logging intervals.
 """
 from __future__ import annotations
 
@@ -64,6 +65,7 @@ class SamplerRuntime:
         self.n_ops = len(self.op_names)
 
         self._run_chunk = self._build_run_chunk()
+        self._run_mc3_chunk = self._build_run_mc3_chunk()
         self._init_chains = self._build_init_chains()
         self._sample_view = self._build_sample_view()
 
@@ -120,6 +122,109 @@ class SamplerRuntime:
             return Carry(keys, states, stats)
 
         return jax.jit(run, static_argnums=(5,), donate_argnums=(1, 2))
+
+    def _build_run_mc3_chunk(self):
+        """Fully fused MC3: subchains AND swap proposals inside one device
+        program (SURVEY §2.3 P2: swaps become a permutation of the chain
+        axis inside the jitted scan — no host round trips between swaps).
+
+        Signature: run(keys, states, stats, T, Tp, swap_key, swap_matrix,
+                       n_swaps, swap_interval, attempts, only_adjacent)
+        The last four are static. Swap MH semantics mirror the reference
+        (mcmc_setup.py:365-418): `attempts` distinct chain pairs proposed
+        sequentially per swap phase, accepted with probability
+        exp(-(Δlog_prior·Δ(1/Tp) + Δlog_lh·Δ(1/T))).
+        """
+        consts = self.consts
+        sfp = self.sample_from_prior
+        op_cfg = self.op_cfg
+        p_grow = self.p_grow
+        op_logits = np.log(np.asarray([o.weight for o in self._op_specs_cold], np.float32))
+
+        def run(keys, states, stats, T, Tp, swap_key, swap_matrix,
+                n_swaps, swap_interval, attempts, only_adjacent):
+            n_chains = T.shape[0]
+            if only_adjacent:
+                pairs = [(i, i + 1) for i in range(n_chains - 1)]
+            else:
+                pairs = [(i, j) for i in range(n_chains - 1) for j in range(i + 1, n_chains)]
+            pair_a = jnp.asarray([p[0] for p in pairs], jnp.int32)
+            pair_b = jnp.asarray([p[1] for p in pairs], jnp.int32)
+            n_pairs = len(pairs)
+            attempts = min(attempts, n_pairs)
+
+            def apply_one(op_idx, key, state, T_c, Tp_c):
+                cond = Conditionals(Posterior(consts, sfp), T_c, Tp_c)
+                ops = get_operator_schedule(cond, op_cfg, p_grow)
+                return make_mh_apply_fn(cond, ops)(op_idx, key, state)
+
+            vapply = jax.vmap(apply_one, in_axes=(None, 0, 0, 0, 0))
+
+            def mh_body(carry, step_key):
+                keys, states, stats = carry
+                op_idx = jax.random.categorical(step_key, jnp.asarray(op_logits))
+                split = jax.vmap(jax.random.split)(keys)
+                keys, k_apply = split[:, 0], split[:, 1]
+                new_states, accept, step_size, nf = vapply(op_idx, k_apply, states, T, Tp)
+                stats = OperatorStats(
+                    accepts=stats.accepts.at[:, op_idx].add(accept.astype(jnp.int32)),
+                    rejects=stats.rejects.at[:, op_idx].add((~accept).astype(jnp.int32)),
+                    step_size_sum=stats.step_size_sum.at[:, op_idx].add(
+                        jnp.where(accept, step_size, 0.0)
+                    ),
+                    non_finite=stats.non_finite + nf.astype(jnp.int32),
+                )
+                return (keys, new_states, stats), None
+
+            def swap_phase(carry, phase_key):
+                keys, states, stats, swap_matrix, n_acc, n_att = carry
+                k_master, k_pairs, k_u = jax.random.split(phase_key, 3)
+
+                # subchain of swap_interval MH steps
+                step_keys = jax.random.split(k_master, swap_interval)
+                (keys, states, stats), _ = jax.lax.scan(
+                    mh_body, (keys, states, stats), step_keys
+                )
+
+                # sequential swap proposals over random distinct pairs
+                order = jax.random.permutation(k_pairs, n_pairs)[:attempts]
+                us = jnp.log(jax.random.uniform(k_u, (attempts,)))
+
+                def do_swap(t, sc):
+                    perm, ll, lp, swap_matrix, n_acc = sc
+                    idx = order[t]
+                    a, b = pair_a[idx], pair_b[idx]
+                    prior_exp_diff = 1.0 / Tp[a] - 1.0 / Tp[b]
+                    lh_exp_diff = 1.0 / T[a] - 1.0 / T[b]
+                    mh = -((lp[a] - lp[b]) * prior_exp_diff + (ll[a] - ll[b]) * lh_exp_diff)
+                    accept = us[t] < mh
+                    pa, pb = perm[a], perm[b]
+                    perm = perm.at[a].set(jnp.where(accept, pb, pa))
+                    perm = perm.at[b].set(jnp.where(accept, pa, pb))
+                    la, lb = ll[a], ll[b]
+                    ll = ll.at[a].set(jnp.where(accept, lb, la)).at[b].set(jnp.where(accept, la, lb))
+                    qa, qb = lp[a], lp[b]
+                    lp = lp.at[a].set(jnp.where(accept, qb, qa)).at[b].set(jnp.where(accept, qa, qb))
+                    swap_matrix = swap_matrix.at[a, b].add(accept.astype(jnp.int32))
+                    return perm, ll, lp, swap_matrix, n_acc + accept.astype(jnp.int32)
+
+                perm0 = jnp.arange(n_chains)
+                perm, _ll, _lp, swap_matrix, n_acc = jax.lax.fori_loop(
+                    0, attempts, do_swap,
+                    (perm0, states.log_lh, states.log_prior, swap_matrix, n_acc),
+                )
+                states = jax.tree.map(lambda x: x[perm], states)
+                return (keys, states, stats, swap_matrix, n_acc, n_att + attempts), None
+
+            phase_keys = jax.random.split(swap_key, n_swaps)
+            (keys, states, stats, swap_matrix, n_acc, n_att), _ = jax.lax.scan(
+                swap_phase,
+                (keys, states, stats, swap_matrix, jnp.int32(0), jnp.int32(0)),
+                phase_keys,
+            )
+            return keys, states, stats, swap_matrix, n_acc, n_att
+
+        return jax.jit(run, static_argnums=(7, 8, 9, 10), donate_argnums=(1, 2, 6))
 
     def _build_init_chains(self):
         """Initializer + posterior bookkeeping, vmapped over chains."""
@@ -582,45 +687,46 @@ class MCMCSetup:
         )
         self.logger.info("Sampling from posterior...")
 
-        swap_rng = np.random.default_rng(seed + 31 * run)
+        # Fused device loop: each call runs `swaps_per_log` subchains WITH
+        # their swap proposals inside one jitted scan (SURVEY §2.3 P2) —
+        # the host syncs only at sample-logging intervals.
+        swaps_per_log = max(1, logging_interval // swap_interval)
+        n_outer = max(1, n_swaps // swaps_per_log)
+        keys = jax.random.split(jax.random.fold_in(k_run, 99), n_chains)
+        swap_matrix_dev = jnp.zeros((n_chains, n_chains), jnp.int32)
         i_step = 0
-        for i_swap in range(n_swaps):
-            k_run, k_chunk = jax.random.split(k_run)
-            carry = rt.run_chunk(
-                jax.random.split(k_chunk, n_chains), states, stats, temps, ptemps, swap_interval
+        for i_outer in range(n_outer):
+            k_run, k_swap = jax.random.split(k_run)
+            keys, states, stats, swap_matrix_dev, n_acc, n_att = rt._run_mc3_chunk(
+                keys, states, stats, temps, ptemps, k_swap, swap_matrix_dev,
+                swaps_per_log, swap_interval,
+                int(mc3.swap_attempts), bool(mc3.only_swap_adjacent_chains),
             )
-            states, stats = carry.state, carry.stats
-            i_step += swap_interval
-
-            # ---- propose swaps on (log_lh, log_prior) scalars ----
-            ll = np.asarray(states.log_lh)
-            lp = np.asarray(states.log_prior)
-            perm = self._swap_chains(
-                ll, lp, temperatures, prior_temperatures,
-                attempts=mc3.swap_attempts,
-                only_neighbours=mc3.only_swap_adjacent_chains,
-                rng=swap_rng,
-            )
-            if not np.array_equal(perm, np.arange(n_chains)):
-                states = jax.tree.map(lambda x: x[jnp.asarray(perm)], states)
+            i_step += swaps_per_log * swap_interval
+            self.swap_accepts += int(jax.device_get(n_acc))
+            self.swap_attempts += int(jax.device_get(n_att))
 
             if mc3.log_swap_matrix and self.last_swap_matrix_save < self.swap_attempts:
+                self.swap_matrix = np.asarray(swap_matrix_dev)
                 path = self.path_results / f"mc3_swaps_K{self.model.n_clusters}_{run}.txt"
                 np.savetxt(path, self.swap_matrix, fmt="%i")
                 self.last_swap_matrix_save = self.swap_accepts
 
             # ---- logging at sample intervals ----
-            if i_step % logging_interval == 0:
-                for c in range(n_chains):
-                    state_c = jax.tree.map(lambda x: x[c], states)
-                    record = rt.make_record(state_c, i_step=i_step, chain=c,
-                                            with_likelihood=(c == 0))
-                    self._push_operator_stats(loggers_by_chain[c], stats, chain_idx=c,
-                                              elapsed=time.time() - self.t_start,
-                                              steps_done=i_step)
-                    for logger in loggers_by_chain[c]:
-                        logger.write_sample(record)
-                self._print_screen_log(i_step, float(states.log_lh[0]))
+            for c in range(n_chains):
+                state_c = jax.tree.map(lambda x: x[c], states)
+                record = rt.make_record(state_c, i_step=i_step, chain=c,
+                                        with_likelihood=(c == 0))
+                self._push_operator_stats(loggers_by_chain[c], stats, chain_idx=c,
+                                          elapsed=time.time() - self.t_start,
+                                          steps_done=i_step)
+                for logger in loggers_by_chain[c]:
+                    logger.write_sample(record)
+            self.logger.info(
+                f"swap accept-rate={self.swap_accepts / max(self.swap_attempts, 1):.3f} "
+                f"({self.swap_attempts} attempts)"
+            )
+            self._print_screen_log(i_step, float(states.log_lh[0]))
 
         for chain_loggers in loggers_by_chain:
             for logger in chain_loggers:
