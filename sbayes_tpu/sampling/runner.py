@@ -427,7 +427,8 @@ class MCMCSetup:
             na = jnp.asarray(consts.na)
             w = normalize_weights(weights, cond.post.has_components(clusters))
             src = sample_categorical_onehot(key, w) & ~na[:, :, None]
-            state = ChainState(clusters, weights, src, jnp.float32(-jnp.inf), jnp.float32(-jnp.inf))
+            state = ChainState(clusters, weights, src, jnp.float32(-jnp.inf),
+                               jnp.float32(-jnp.inf), jnp.full((4,), -jnp.inf, jnp.float32))
             # one posterior Gibbs pass over the source
             p = cond.source_posterior(clusters, weights, src)
             src2 = sample_categorical_onehot(jax.random.fold_in(key, 1), p) & ~na[:, :, None]

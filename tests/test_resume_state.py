@@ -41,3 +41,22 @@ def test_checkpoint_contains_parts_and_reload_is_consistent(tmp_path):
     np.testing.assert_allclose(
         np.asarray(state.prior_parts), np.asarray(parts.prior_vector()), rtol=1e-4, atol=1e-3
     )
+
+    # ---- legacy resume path: no pickle, reconstruct from clusters/stats
+    # CSVs + source imputation (reference: mcmc_setup.py:203-245) ----
+    state_path.unlink()
+    state2, i_step2 = (
+        mcmc._load_state_pickle(state_path) if state_path.exists()
+        else mcmc._resume_from_results(run=0)
+    )
+    assert i_step2 == 201  # last sample id + 1
+    assert np.isfinite(float(state2.log_lh))
+    # clusters match the last logged sample
+    from sbayes_tpu.results.results import Results
+
+    res = Results.from_csv_files(
+        tmp_path / "ckpt" / "K1" / "clusters_K1_0.txt",
+        tmp_path / "ckpt" / "K1" / "stats_K1_0.txt",
+        burn_in=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(state2.clusters), res.clusters[:, -1, :])
