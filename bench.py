@@ -62,15 +62,18 @@ def _measure(n_chains: int, chunk_steps: int) -> float:
     carry = rt.run_chunk(keys, states, stats, ones, ones, chunk_steps)
     jax.block_until_ready(carry.state)
 
-    # Steady-state timing
+    # Steady-state timing: median of per-chunk rates (robust to transient
+    # stalls of the remote-device tunnel)
     n_chunks = 10
-    t0 = time.perf_counter()
+    rates = []
     for i in range(n_chunks):
         keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(carry.key, i)
+        t0 = time.perf_counter()
         carry = rt.run_chunk(keys, carry.state, carry.stats, ones, ones, chunk_steps)
-    jax.block_until_ready(carry.state)
-    dt = time.perf_counter() - t0
-    return n_chunks * chunk_steps * n_chains / dt
+        jax.block_until_ready(carry.state)
+        rates.append(chunk_steps * n_chains / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 def main():
