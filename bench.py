@@ -3,10 +3,12 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Metric: total MCMC steps/sec/chip of a vmapped chain ensemble on a
-synthetic south_america-shaped dataset (100 objects x 36 features x <=6
-states, K=3, universal+family confounders) — the reference's headline
-workload shape (BASELINE.md).
+Metric: ESS/sec/chip — the BASELINE.json north-star metric — of a vmapped
+chain ensemble on a synthetic south_america-shaped dataset (100 objects x
+36 features x <=6 states, K=3, universal+family confounders). ESS is the
+multi-chain effective sample size (Stan-style; penalizes between-chain
+disagreement) of the log-posterior trace, measured with the SAME estimator
+on the reference sampler's trace (benchmarks/reference_baseline.py).
 
 Baseline: the reference sampler measured on THIS machine via
 benchmarks/reference_baseline.py (shimmed numba -> scipy gammaln),
@@ -42,8 +44,11 @@ N_CHAINS = 1024
 CHUNK_STEPS = 200
 
 
-def _measure(n_chains: int, chunk_steps: int) -> float:
+def _measure(n_chains: int, chunk_steps: int) -> dict:
+    import numpy as np
+
     from sbayes_tpu.model.model import Model
+    from sbayes_tpu.results.ess import multichain_ess
     from sbayes_tpu.sampling.kernel import OperatorStats
     from sbayes_tpu.sampling.runner import SamplerRuntime
     from sbayes_tpu.testing import synthetic_config, synthetic_data
@@ -58,22 +63,33 @@ def _measure(n_chains: int, chunk_steps: int) -> float:
     ones = jnp.ones(n_chains, jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
 
-    # Compile + warm up
+    # Compile + warm-up/equilibration (10 chunks = 2000 steps per chain)
     carry = rt.run_chunk(keys, states, stats, ones, ones, chunk_steps)
+    for i in range(9):
+        keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(carry.key, i)
+        carry = rt.run_chunk(keys, carry.state, carry.stats, ones, ones, chunk_steps)
     jax.block_until_ready(carry.state)
 
-    # Steady-state timing: median of per-chunk rates (robust to transient
+    # Timed trace chunks; median of per-chunk times (robust to transient
     # stalls of the remote-device tunnel)
     n_chunks = 10
-    rates = []
+    times, traces = [], []
     for i in range(n_chunks):
-        keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(carry.key, i)
+        keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(carry.key, 100 + i)
         t0 = time.perf_counter()
-        carry = rt.run_chunk(keys, carry.state, carry.stats, ones, ones, chunk_steps)
-        jax.block_until_ready(carry.state)
-        rates.append(chunk_steps * n_chains / (time.perf_counter() - t0))
-    rates.sort()
-    return rates[len(rates) // 2]
+        carry, tr = rt._run_chunk_trace(keys, carry.state, carry.stats, ones, ones, chunk_steps)
+        jax.block_until_ready(tr)
+        times.append(time.perf_counter() - t0)
+        traces.append(np.asarray(tr))
+
+    wall = float(np.median(times)) * n_chunks
+    trace = np.concatenate(traces, axis=0).T  # (chains, steps)
+    ess = multichain_ess(trace)
+    return {
+        "steps_per_sec": n_chunks * chunk_steps * n_chains / wall,
+        "ess": ess,
+        "ess_per_sec": ess / wall,
+    }
 
 
 def main():
@@ -100,25 +116,38 @@ def main():
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
-    steps_per_sec, used_chains = None, None
-    for n_chains, timeout_s in [(N_CHAINS, 420), (256, 300)]:
+    measured, used_chains = None, None
+    for n_chains, timeout_s in [(N_CHAINS, 480), (256, 360)]:
         try:
-            steps_per_sec, used_chains = attempt(n_chains, timeout_s), n_chains
+            measured, used_chains = attempt(n_chains, timeout_s), n_chains
             break
         except Exception as e:  # noqa: BLE001 - fall back to the next size
-            print_err = f"bench attempt with {n_chains} chains failed: {type(e).__name__}: {e}"
             import sys
 
-            print(print_err, file=sys.stderr)
+            print(f"bench attempt with {n_chains} chains failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
-    if steps_per_sec is None:
+    if measured is None:
         raise SystemExit("all bench attempts failed")
 
+    # Baseline ESS/sec measured on the reference sampler with the same
+    # estimator (benchmarks/reference_baseline.json); margin as for steps/s.
+    ref_ess_per_sec = 0.0683
+    if baseline_file.exists():
+        d = json.loads(baseline_file.read_text())
+        ref_ess_per_sec = d.get("ess_per_sec", ref_ess_per_sec)
+    baseline_ess = ref_ess_per_sec * NUMBA_HEADROOM_MARGIN
+
+    import sys
+
+    print(f"steps/sec/chip: {measured['steps_per_sec']:.0f} "
+          f"({measured['steps_per_sec'] / baseline:.0f}x baseline); "
+          f"ensemble multichain ESS {measured['ess']:.0f}", file=sys.stderr)
     print(json.dumps({
-        "metric": f"mcmc_steps_per_sec_per_chip_south_america_shape_{used_chains}chains",
-        "value": round(steps_per_sec, 1),
-        "unit": "steps/sec/chip",
-        "vs_baseline": round(steps_per_sec / baseline, 2),
+        "metric": f"log_posterior_ess_per_sec_per_chip_south_america_shape_{used_chains}chains",
+        "value": round(measured["ess_per_sec"], 2),
+        "unit": "ESS/sec/chip",
+        "vs_baseline": round(measured["ess_per_sec"] / baseline_ess, 1),
     }))
 
 

@@ -265,17 +265,28 @@ def main(n_steps=20000):
         sample = mcmc.step(sample, 0)
         sample.i_step = 10**9  # disable CHECK_CACHING asserts
 
+    lh_trace = []
     t0 = time.perf_counter()
     for i in range(n_steps):
         sample = mcmc.step(sample, 0)
+        lh_trace.append(mcmc._ll[0] + mcmc._prior[0])
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_steps / dt
+
+    # ESS of the log-posterior trace with the same estimator used for the
+    # TPU sampler (sbayes_tpu.results.ess): apples-to-apples ESS/sec.
+    sys.path.insert(0, "/root/repo")
+    from sbayes_tpu.results.ess import effective_sample_size
+
+    ess = effective_sample_size(np.asarray(lh_trace, dtype=float))
     result = {
         "workload": "synthetic south_america-shaped (100 objects x 36 features x <=6 states, K=3, 6 families)",
         "n_steps": n_steps,
         "seconds": dt,
         "steps_per_sec": steps_per_sec,
+        "log_posterior_ess": ess,
+        "ess_per_sec": ess / dt,
         "machine": "driver CPU, single core (reference has no intra-chain parallelism)",
         "notes": "numba shimmed with scipy gammaln; geodesics shimmed (preprocessing only)",
     }

@@ -55,6 +55,44 @@ def effective_sample_size(x: NDArray) -> float:
     return float(min(n / tau, n))
 
 
+def multichain_ess(x: NDArray) -> float:
+    """Multi-chain effective sample size (Stan-style, Vehtari et al. 2021).
+
+    Combines within-chain autocorrelation with between-chain variance, so
+    unconverged ensembles are penalized (each extra chain only counts as
+    independent if the chains actually agree). x shape: (chains, samples).
+    """
+    x = np.asarray(x, dtype=float)
+    m, n = x.shape
+    if n < 4:
+        return float(m)
+    chain_means = x.mean(axis=1)
+    chain_vars = x.var(axis=1, ddof=1)
+    W = chain_vars.mean()
+    B = n * chain_means.var(ddof=1) if m > 1 else 0.0
+    var_plus = (n - 1) / n * W + B / n
+    if var_plus <= 0 or W <= 0:
+        return float(m * n)
+
+    # mean autocovariance across chains (biased, FFT)
+    xc = x - chain_means[:, None]
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), axis=1)[:, :n].real / n
+    mean_acov = acov.mean(axis=0)
+
+    rho = 1.0 - (W - mean_acov) / var_plus  # rho[0] == 1 up to fp error
+    # Geyer initial monotone positive sequence on pair sums
+    # P_k = rho[2k] + rho[2k+1]; tau = 2 * sum(P) - 1
+    max_pairs = n // 2
+    P = rho[0 : 2 * max_pairs : 2] + rho[1 : 2 * max_pairs : 2]
+    positive = P > 0
+    cutoff = len(P) if positive.all() else max(int(np.argmin(positive)), 1)
+    P = np.minimum.accumulate(P[:cutoff])
+    tau = max(2.0 * P.sum() - 1.0, 1e-3)
+    return float(min(m * n / tau, m * n))
+
+
 def split_rhat(x: NDArray) -> float:
     """Split-R-hat over chains: x shape (chains, samples)."""
     x = np.asarray(x, dtype=float)

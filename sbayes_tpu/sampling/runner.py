@@ -65,6 +65,7 @@ class SamplerRuntime:
         self.n_ops = len(self.op_names)
 
         self._run_chunk = self._build_run_chunk()
+        self._run_chunk_trace = self._build_run_chunk_trace()
         self._run_mc3_chunk = self._build_run_mc3_chunk()
         self._init_chains = self._build_init_chains()
         self._sample_view = self._build_sample_view()
@@ -120,6 +121,49 @@ class SamplerRuntime:
             step_keys = jax.random.split(master_key, n_steps)
             (keys, states, stats), _ = jax.lax.scan(body, (keys, states, stats), step_keys)
             return Carry(keys, states, stats)
+
+        return jax.jit(run, static_argnums=(5,), donate_argnums=(1, 2))
+
+    def _build_run_chunk_trace(self):
+        """Like the ensemble chunk runner, but additionally returns the
+        per-step log-posterior trace (n_steps, n_chains) — used for ESS
+        measurement (ESS/sec is the headline benchmark metric)."""
+        consts = self.consts
+        sfp = self.sample_from_prior
+        op_cfg = self.op_cfg
+        p_grow = self.p_grow
+        op_logits = np.log(np.asarray([o.weight for o in self._op_specs_cold], np.float32))
+
+        def run(keys, states, stats, T, Tp, n_steps):
+            master_key = jax.random.fold_in(keys[0], 0x5ba135)
+
+            def apply_one(op_idx, key, state, T_c, Tp_c):
+                cond = Conditionals(Posterior(consts, sfp), T_c, Tp_c)
+                ops = get_operator_schedule(cond, op_cfg, p_grow)
+                return make_mh_apply_fn(cond, ops)(op_idx, key, state)
+
+            vapply = jax.vmap(apply_one, in_axes=(None, 0, 0, 0, 0))
+
+            def body(carry, step_key):
+                keys, states, stats = carry
+                op_idx = jax.random.categorical(step_key, jnp.asarray(op_logits))
+                split = jax.vmap(jax.random.split)(keys)
+                keys, k_apply = split[:, 0], split[:, 1]
+                new_states, accept, step_size, nf = vapply(op_idx, k_apply, states, T, Tp)
+                stats = OperatorStats(
+                    accepts=stats.accepts.at[:, op_idx].add(accept.astype(jnp.int32)),
+                    rejects=stats.rejects.at[:, op_idx].add((~accept).astype(jnp.int32)),
+                    step_size_sum=stats.step_size_sum.at[:, op_idx].add(
+                        jnp.where(accept, step_size, 0.0)
+                    ),
+                    non_finite=stats.non_finite + nf.astype(jnp.int32),
+                )
+                trace = new_states.log_lh + new_states.log_prior
+                return (keys, new_states, stats), trace
+
+            step_keys = jax.random.split(master_key, n_steps)
+            (keys, states, stats), trace = jax.lax.scan(body, (keys, states, stats), step_keys)
+            return Carry(keys, states, stats), trace
 
         return jax.jit(run, static_argnums=(5,), donate_argnums=(1, 2))
 
