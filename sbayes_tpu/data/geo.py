@@ -141,18 +141,31 @@ def haversine(lat1, lon1, lat2, lon2):
 
 
 def _parse_crs(projection: str):
-    """Parse a small set of CRS identifiers without pyproj.
+    """Resolve a CRS identifier to 'lonlat', a Projection, or None (planar).
 
-    Supported: epsg:4326 (lon/lat degrees, the overwhelmingly common case and
-    the reference default) and any string containing '4326'. Other CRS
-    strings fall back to treating coordinates as planar (with a warning),
-    since re-projecting arbitrary CRSs requires pyproj.
-    """
+    epsg:4326 / WGS84 identifiers mean the coordinates already are lon/lat
+    degrees. proj4 strings are parsed by ``sbayes_tpu.data.proj`` (eqdc,
+    lcc, aea, tmerc/utm, merc, eqc families); unsupported CRSs fall back to
+    planar with a warning. The reference reprojects with pyproj
+    (preprocessing.py:149-155) — but note its documented lat/lon axis-order
+    swap for projected CRSs (see proj.py module docstring); we return true
+    (lon, lat)."""
     if projection is None:
         return None
     p = projection.strip().lower()
     if "4326" in p or "wgs84" in p or "wgs 84" in p:
         return "lonlat"
+    if "proj=" in p or p.startswith("+"):
+        from sbayes_tpu.data.proj import Projection
+
+        try:
+            prj = Projection(projection)
+        except ValueError as err:
+            import warnings
+
+            warnings.warn(f"{err}; treating coordinates as planar (Euclidean distances).")
+            return None
+        return "lonlat" if prj.is_geographic else prj
     return None
 
 
@@ -174,18 +187,21 @@ class ComputeNetwork:
         edges = np.column_stack((v1, v2))
 
         kind = _parse_crs(crs)
-        if kind == "lonlat":
-            lons, lats = locations[:, 0], locations[:, 1]
+        if kind is not None:
+            if kind == "lonlat":
+                lons, lats = locations[:, 0], locations[:, 1]
+            else:  # a parsed Projection: unproject to true lon/lat first
+                lons, lats = kind.inverse(locations[:, 0], locations[:, 1])
             dist_mat = vincenty_inverse(
                 lats[:, None], lons[:, None], lats[None, :], lons[None, :]
             )
             self.lat_lon = np.vstack((lons, lats)).T
         else:
-            if crs is not None and kind is None:
+            if crs is not None:
                 import warnings
 
                 warnings.warn(
-                    f"CRS '{crs}' is not supported without pyproj; treating "
+                    f"CRS '{crs}' is not supported; treating "
                     f"coordinates as planar (Euclidean distances)."
                 )
             diff = locations[:, None] - locations
