@@ -60,6 +60,19 @@ class Conditionals:
     # Component likelihoods
     # ------------------------------------------------------------------
 
+    def likelihood_per_component_slice(self, clusters, cl_counts_t, conf_counts_t,
+                                       feats_t, na_t, conc_cluster_t, conc_conf_t):
+        """(N, f, C) per-component likelihoods on one feature slice."""
+        c = self.consts
+        cl_eff = normalize(cl_counts_t + conc_cluster_t[None], axis=-1)
+        lh0 = jnp.einsum("kn,kfs,nfs->nf", clusters.astype(feats_t.dtype), cl_eff, feats_t)
+
+        conf_eff = normalize(conf_counts_t + conc_conf_t, axis=-1)
+        lhc = jnp.einsum("cgn,cgfs,nfs->nfc", jnp.asarray(c.groups), conf_eff, feats_t)
+
+        lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
+        return jnp.where(na_t[:, :, None], 1.0, lh)
+
     def likelihood_per_component(self, clusters, cl_counts, conf_counts):
         """(N, F, C) likelihood of each observation under each component.
 
@@ -68,66 +81,106 @@ class Conditionals:
         get likelihood 1 (reference: conditionals.py:152-223).
         """
         c = self.consts
-        feats = jnp.asarray(c.features)
-        cl_eff = normalize(cl_counts + jnp.asarray(c.conc_cluster)[None], axis=-1)
-        lh0 = jnp.einsum("kn,kfs,nfs->nf", clusters.astype(feats.dtype), cl_eff, feats)
+        return self.likelihood_per_component_slice(
+            clusters, cl_counts, conf_counts, jnp.asarray(c.features),
+            jnp.asarray(c.na), jnp.asarray(c.conc_cluster), jnp.asarray(c.conc_conf),
+        )
 
-        conf_eff = normalize(conf_counts + jnp.asarray(c.conc_conf), axis=-1)
-        lhc = jnp.einsum("cgn,cgfs,nfs->nfc", jnp.asarray(c.groups), conf_eff, feats)
+    class _FeatureSlice(NamedTuple):
+        """Per-feature constants/state restricted to one F-tile (or all of
+        F on the fused path — both paths run the same math)."""
 
-        lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
-        return jnp.where(jnp.asarray(c.na)[:, :, None], 1.0, lh)
+        feats: jnp.ndarray         # (N, f, S)
+        na: jnp.ndarray            # (N, f)
+        source: jnp.ndarray        # (N, f, C)
+        weights: jnp.ndarray       # (f, C)
+        conc_cluster: jnp.ndarray  # (f, S)
+        unif_conc: jnp.ndarray     # (f, S)
+        conc_conf: jnp.ndarray     # (C-1, Gmax, f, S)
+        conf_counts: jnp.ndarray   # (C-1, Gmax, f, S)
 
-    def component_likelihood_given_unchanged(self, clusters, source, subset, i_cluster,
-                                             conf_counts_full=None):
-        """(N, F, C) heated component likelihoods with the subset's own
-        contribution removed from the effect estimates.
+    def _feature_slice(self, source, weights, conf_counts_full, i=None) -> "_FeatureSlice":
+        """Build the _FeatureSlice for tile ``i`` (or full F if i is None)."""
+        c = self.consts
+        arrs = dict(
+            feats=(jnp.asarray(c.features), 1),
+            na=(jnp.asarray(c.na), 1),
+            source=(source, 1),
+            weights=(weights, 0),
+            conc_cluster=(jnp.asarray(c.conc_cluster), 0),
+            unif_conc=(jnp.asarray(c.unif_conc), 0),
+            conc_conf=(jnp.asarray(c.conc_conf), 2),
+            conf_counts=(conf_counts_full, 2),
+        )
+        if i is None:
+            return Conditionals._FeatureSlice(**{k: a for k, (a, _) in arrs.items()})
+        from sbayes_tpu.model.math import feature_tile
+
+        fc = c.feature_chunk
+        return Conditionals._FeatureSlice(
+            **{k: feature_tile(a, i, fc, axis=ax) for k, (a, ax) in arrs.items()}
+        )
+
+    def _clgu_slice(self, clusters, subset, i_cluster, fs: "_FeatureSlice"):
+        """component_likelihood_given_unchanged on one feature slice.
 
         Mirrors reference operators.py:863-928: the cluster effect uses
         counts of cluster members outside ``subset``; each confounder
         effect uses its full counts minus the subset's contribution.
-        Only rows in ``subset`` are meaningful to the caller.
+        Only rows in ``subset`` are meaningful to the caller. Returns
+        (N, f, C) heated likelihoods.
         """
         c = self.consts
-        feats = jnp.asarray(c.features)
+        feats = fs.feats
         dtype = feats.dtype
         sub = subset.astype(dtype)
 
         # Cluster component: counts from (cluster & ~subset) rows.
         cluster = clusters[i_cluster]
         keep = cluster.astype(dtype) * (1.0 - sub)
-        src0 = source[:, :, 0].astype(dtype)
+        src0 = fs.source[:, :, 0].astype(dtype)
         cl_counts_keep = jnp.einsum("n,nf,nfs->fs", keep, src0, feats)
         cluster_effect = conditional_effect_mean(
-            prior_counts=jnp.asarray(c.conc_cluster),
+            prior_counts=fs.conc_cluster,
             feature_counts=cl_counts_keep,
-            unif_counts=jnp.asarray(c.unif_conc),
+            unif_counts=fs.unif_conc,
             prior_temperature=self.Tp,
             temperature=self.T,
         )
         lh0 = jnp.einsum("fs,nfs->nf", cluster_effect, feats)
 
         # Confounder components: full counts minus subset contribution.
-        # ``conf_counts_full`` (counts of `source` over the static groups)
-        # can be passed in to reuse the step's forward count computation.
-        srcc = source[:, :, 1:].astype(dtype)
+        srcc = fs.source[:, :, 1:].astype(dtype)
         groups = jnp.asarray(c.groups)
         changeable = jnp.einsum("cgn,n,nfc,nfs->cgfs", groups, sub, srcc, feats)
-        if conf_counts_full is None:
-            conf_counts_full = jnp.einsum("cgn,nfc,nfs->cgfs", groups, srcc, feats)
-        unchangeable = conf_counts_full - changeable
+        unchangeable = fs.conf_counts - changeable
         conf_effect = conditional_effect_mean(
-            prior_counts=jnp.asarray(c.conc_conf),
+            prior_counts=fs.conc_conf,
             feature_counts=unchangeable,
-            unif_counts=jnp.asarray(c.unif_conc)[None, None],
+            unif_counts=fs.unif_conc[None, None],
             prior_temperature=self.Tp,
             temperature=self.T,
         )
         lhc = jnp.einsum("cgn,cgfs,nfs->nfc", groups, conf_effect, feats)
 
         lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
-        lh = jnp.where(jnp.asarray(c.na)[:, :, None], 1.0, lh)
+        lh = jnp.where(fs.na[:, :, None], 1.0, lh)
         return lh ** (1.0 / self.T)
+
+    def component_likelihood_given_unchanged(self, clusters, source, subset, i_cluster,
+                                             conf_counts_full=None):
+        """(N, F, C) heated component likelihoods with the subset's own
+        contribution removed from the effect estimates (full-F wrapper of
+        ``_clgu_slice``; the resample paths tile it over F at scale)."""
+        c = self.consts
+        if conf_counts_full is None:
+            feats = jnp.asarray(c.features)
+            srcc = source[:, :, 1:].astype(feats.dtype)
+            conf_counts_full = jnp.einsum(
+                "cgn,nfc,nfs->cgfs", jnp.asarray(c.groups), srcc, feats
+            )
+        fs = self._feature_slice(source, jnp.zeros((c.F, c.C)), conf_counts_full, i=None)
+        return self._clgu_slice(clusters, subset, i_cluster, fs)
 
     def likelihood_per_component_exact(self, clusters, source):
         """Exact leave-self-out component likelihoods (for lh logging).
@@ -194,10 +247,80 @@ class Conditionals:
 
     def _masked_source_logp(self, p, source, subset):
         """Sum of log p at the one-hot source entries over (subset, valid)."""
-        c = self.consts
-        valid = (~jnp.asarray(c.na)) & subset[:, None]
+        return self._masked_logp_slice(p, source, subset, jnp.asarray(self.consts.na))
+
+    @staticmethod
+    def _masked_logp_slice(p, source, subset, na_t):
+        valid = (~na_t) & subset[:, None]
         chosen = (p * source).sum(-1)
         return jnp.where(valid, jnp.log(jnp.maximum(chosen, 1e-35)), 0.0).sum()
+
+    def _resample_engine(self, key, state_old, clusters_new, subset,
+                         i_fwd, i_back, clusters_back, share_lh: bool,
+                         heat: bool, hc_back_from_old: bool,
+                         conf_counts_full) -> SourceResample:
+        """Shared tiled/fused source-resample core.
+
+        The body runs on one _FeatureSlice; with ``feature_chunk`` unset it
+        runs once on the full F axis (identical to the round-1 fused math),
+        otherwise as a lax.map over F-tiles (everything here is feature-
+        separable given the counts).
+        """
+        c = self.consts
+        hc_new = self.post.has_components(clusters_new)
+        hc_back = self.post.has_components(state_old.clusters) if hc_back_from_old else hc_new
+        sfp = self.sample_from_prior
+
+        if conf_counts_full is None:
+            feats = jnp.asarray(c.features)
+            srcc = state_old.source[:, :, 1:].astype(feats.dtype)
+            conf_counts_full = jnp.einsum(
+                "cgn,nfc,nfs->cgfs", jnp.asarray(c.groups), srcc, feats,
+            )
+
+        def tile_out(fs: "Conditionals._FeatureSlice", k):
+            w_f = normalize_weights(fs.weights, hc_new)
+            w_b = normalize_weights(fs.weights, hc_back)
+            if heat:
+                w_f = w_f ** (1.0 / self.Tp)
+                w_b = w_b ** (1.0 / self.Tp)
+            if sfp:
+                p = w_f / jnp.maximum(w_f.sum(-1, keepdims=True), EPS32)
+                p_back = w_b / jnp.maximum(w_b.sum(-1, keepdims=True), EPS32)
+            else:
+                lh_f = self._clgu_slice(clusters_new, subset, i_fwd, fs)
+                lh_b = lh_f if share_lh else self._clgu_slice(
+                    clusters_back, subset, i_back, fs
+                )
+                p = normalize(w_f * lh_f, axis=-1)
+                p_back = normalize(w_b * lh_b, axis=-1)
+
+            x = sample_categorical_onehot(k, p)
+            x = x & ~fs.na[:, :, None]
+            source_new_t = jnp.where(subset[:, None, None], x, fs.source)
+            log_q = self._masked_logp_slice(p, source_new_t, subset, fs.na)
+            log_q_back = self._masked_logp_slice(p_back, fs.source, subset, fs.na)
+            return source_new_t, log_q, log_q_back
+
+        fc = c.feature_chunk
+        if fc is None or fc >= c.F:
+            fs = self._feature_slice(state_old.source, state_old.weights,
+                                     conf_counts_full, i=None)
+            source_new, log_q, log_q_back = tile_out(fs, key)
+            return SourceResample(source_new, log_q, log_q_back)
+
+        n_tiles = c.F // fc
+        keys = jax.random.split(key, n_tiles)
+
+        def tile_body(args):
+            i, k = args
+            fs = self._feature_slice(state_old.source, state_old.weights,
+                                     conf_counts_full, i=i)
+            return tile_out(fs, k)
+
+        src_t, lq_t, lqb_t = jax.lax.map(tile_body, (jnp.arange(n_tiles), keys))
+        source_new = jnp.moveaxis(src_t, 0, 1).reshape(c.N, c.F, c.C)
+        return SourceResample(source_new, lq_t.sum(), lqb_t.sum())
 
     def gibbs_resample_source(self, key, state_old, clusters_new, subset, i_cluster,
                               conf_counts_full=None) -> SourceResample:
@@ -205,45 +328,50 @@ class Conditionals:
         conditional, leaving out the subset's own contribution.
 
         Mirrors reference ClusterOperator.gibbs_sample_source
-        (operators.py:796-849). Uses the NEW clusters for the forward
-        proposal weights and the OLD clusters for the backward ones.
+        (operators.py:796-849): forward and backward densities share the
+        component likelihoods (exact for single-cluster-index moves: the
+        subset's own contribution is excluded either way), weights are
+        heated by 1/Tp, and the backward weights come from the OLD clusters.
         """
-        c = self.consts
-        na = jnp.asarray(c.na)
-
-        lh_pc = self.component_likelihood_given_unchanged(
-            clusters_new, state_old.source, subset, i_cluster,
+        return self._resample_engine(
+            key, state_old, clusters_new, subset,
+            i_fwd=i_cluster, i_back=i_cluster, clusters_back=clusters_new,
+            share_lh=True, heat=True, hc_back_from_old=True,
             conf_counts_full=conf_counts_full,
         )
 
-        w_new = normalize_weights(state_old.weights, self.post.has_components(clusters_new))
-        w_new = w_new ** (1.0 / self.Tp)
-        if self.sample_from_prior:
-            p = w_new / jnp.maximum(w_new.sum(-1, keepdims=True), EPS32)
-        else:
-            p = normalize(w_new * lh_pc, axis=-1)
+    def gibbs_resample_source_jump(self, key, state_old, clusters_new, subset,
+                                   i_cluster_new, i_cluster_old,
+                                   conf_counts_full=None) -> SourceResample:
+        """Jump-specific source resample (reference gibbs_sample_source_jump,
+        operators.py:1775-1827).
 
-        x = sample_categorical_onehot(key, p)
-        x = x & ~na[:, :, None]
-        source_new = jnp.where(subset[:, None, None], x, state_old.source)
+        Differs from ``gibbs_resample_source`` in two reference-exact ways:
+        the backward component likelihoods come from the OLD state with the
+        *source* cluster (``i_cluster_old``), not from the forward
+        likelihoods; and the mixture weights are UNheated (no ``1/Tp``),
+        taken from the new sample for both directions
+        (reference operators.py:1790 ``w = update_weights(sample_new)``).
+        ``conf_counts_full`` may be shared between directions: confounder
+        counts depend only on the (unchanged-outside-subset) source array
+        and the static groups, not on cluster membership.
+        """
+        return self._resample_engine(
+            key, state_old, clusters_new, subset,
+            i_fwd=i_cluster_new, i_back=i_cluster_old,
+            clusters_back=state_old.clusters,
+            share_lh=False, heat=False, hc_back_from_old=False,
+            conf_counts_full=conf_counts_full,
+        )
 
-        log_q = self._masked_source_logp(p, source_new, subset)
-
-        w_old = normalize_weights(state_old.weights, self.post.has_components(state_old.clusters))
-        w_old = w_old ** (1.0 / self.Tp)
-        if self.sample_from_prior:
-            p_back = w_old / jnp.maximum(w_old.sum(-1, keepdims=True), EPS32)
-        else:
-            p_back = normalize(w_old * lh_pc, axis=-1)
-        log_q_back = self._masked_source_logp(p_back, state_old.source, subset)
-
-        return SourceResample(source=source_new, log_q=log_q, log_q_back=log_q_back)
-
-    def source_posterior(self, clusters, weights, source):
+    def source_posterior(self, clusters, weights, source, counts=None):
         """(N, F, C) posterior over component attributions given everything
         else (reference: GibbsSampleSource.calculate_source_posterior,
-        operators.py:554-574)."""
-        cl_counts, conf_counts = self.post.feature_counts(clusters, source)
+        operators.py:554-574). ``counts`` may pass in precomputed
+        sufficient-statistic counts of ``source``."""
+        if counts is None:
+            counts = self.post.feature_counts(clusters, source)
+        cl_counts, conf_counts = counts
         lh_pc = self.likelihood_per_component(clusters, cl_counts, conf_counts)
         w = normalize_weights(weights, self.post.has_components(clusters))
         sp = lh_pc ** (1.0 / self.T) * w ** (1.0 / self.Tp)

@@ -45,11 +45,17 @@ class OpResult(NamedTuple):
     log_q: jnp.ndarray
     log_q_back: jnp.ndarray
     step_size: jnp.ndarray  # operator-specific step size (for stats)
+    # Optional (cl_counts, conf_counts) of res.state: when set, the MH
+    # kernel reuses them for the candidate log-likelihood instead of
+    # recomputing the count einsums (the single hottest redundancy of the
+    # cluster branch — exact, counts are integer-valued f32).
+    counts: tuple = None
 
 
-def _reject(state) -> "OpResult":
+def _reject(state, counts=None) -> "OpResult":
     z = jnp.float32
-    return OpResult(state, jnp.asarray(Q_REJECT, z), jnp.asarray(-jnp.inf, z), jnp.asarray(0.0, z))
+    return OpResult(state, jnp.asarray(Q_REJECT, z), jnp.asarray(-jnp.inf, z),
+                    jnp.asarray(0.0, z), counts)
 
 
 def _select_result(pred, a: OpResult, b: OpResult) -> OpResult:
@@ -135,7 +141,7 @@ class OperatorFactory:
         return normalize(self._posterior_counts(conc, residual_counts), axis=-1)
 
     def _log_marginal_with_without(self, state, i_cluster, avail, effect_proposal="gibbs",
-                                   counts=None):
+                                   counts=None, heat_effect_lh=False):
         """log marginal lh of each object with/without cluster membership.
 
         The collapsed membership odds used by the Gibbsish operators
@@ -145,51 +151,112 @@ class OperatorFactory:
         renormalized weights for the flipped/unflipped availability
         pattern, and take the product over features — here in log space.
 
+        Feature-separable given the counts: with ``consts.feature_chunk``
+        set the body lax.maps over F-tiles (only the 'gibbs' effect
+        proposal supports tiling; the residual proposals are full-F).
+
         Returns (log_m0, log_m1): (N,) log marginals without/with the
         cluster, meaningful at ``avail``.
         """
         c = self.consts
         cond = self.cond
-        feats = jnp.asarray(c.features)
-        na = jnp.asarray(c.na)
 
         if counts is None:
             counts = cond.post.feature_counts(state.clusters, state.source)
         cl_counts, conf_counts = counts
 
-        proposal = getattr(self, f"cluster_effect_proposal_{effect_proposal}")
-        p_eff = proposal(state, cl_counts, conf_counts, i_cluster)
-        cluster_lh = jnp.einsum("fs,nfs->nf", p_eff, feats)
-
-        all_lh = cond.likelihood_per_component(state.clusters, cl_counts, conf_counts)
-        all_lh = all_lh.at[:, :, 0].set(jnp.where(na, 1.0, cluster_lh))
-
-        # Weights with/without cluster membership (weight-flip trick)
+        # Weights with/without cluster membership (weight-flip trick):
+        # per-object component availability is F-free, weights are tiled.
         hc = cond.post.has_components(state.clusters)
-        w_cur = normalize(normalize_weights(state.weights, hc) ** (1.0 / self.Tp), axis=-1)
         hc_flip = hc.at[:, 0].set(~hc[:, 0])
-        w_flip = normalize_weights(state.weights ** (1.0 / self.Tp), hc_flip)
+        in_cluster_now = hc[:, 0]
 
-        in_cluster_now = hc[:, 0]  # object currently has the cluster component
-        w_with = jnp.where(in_cluster_now[:, None, None], w_cur, w_flip)
-        w_without = jnp.where(in_cluster_now[:, None, None], w_flip, w_cur)
+        fc = c.feature_chunk
+        chunked = fc is not None and fc < c.F and effect_proposal == "gibbs"
 
-        lh_with = jnp.einsum("nfc,nfc->nf", all_lh, w_with)
-        lh_without = jnp.einsum("nfc,nfc->nf", all_lh, w_without)
+        if not chunked:
+            feats = jnp.asarray(c.features)
+            na = jnp.asarray(c.na)
+            proposal = getattr(self, f"cluster_effect_proposal_{effect_proposal}")
+            p_eff = proposal(state, cl_counts, conf_counts, i_cluster)
+            conc_cluster_t = jnp.asarray(c.conc_cluster)
+            conc_conf_t = jnp.asarray(c.conc_conf)
+            weights_t = state.weights
+            cl_counts_t, conf_counts_t = cl_counts, conf_counts
 
-        log_m1 = jnp.log(jnp.maximum(lh_with, TINY)).sum(-1) / self.T
-        log_m0 = jnp.log(jnp.maximum(lh_without, TINY)).sum(-1) / self.T
-        return log_m0, log_m1
+        def slice_body(p_eff, feats_t, na_t, weights_t, cl_counts_t, conf_counts_t,
+                       conc_cluster_t, conc_conf_t):
+            cluster_lh = jnp.einsum("fs,nfs->nf", p_eff, feats_t)
+            if heat_effect_lh:
+                # The wide operator's raw-probs variant heats the component-0
+                # likelihood once more before the weight mixture (reference
+                # compute_raw_cluster_probs, operators.py:1445 — absent from
+                # compute_cluster_posterior, operators.py:1055). No-op at T=1.
+                cluster_lh = jnp.maximum(cluster_lh, TINY) ** (1.0 / self.T)
+
+            all_lh = cond.likelihood_per_component_slice(
+                state.clusters, cl_counts_t, conf_counts_t, feats_t, na_t,
+                conc_cluster_t, conc_conf_t,
+            )
+            all_lh = all_lh.at[:, :, 0].set(jnp.where(na_t, 1.0, cluster_lh))
+
+            w_cur = normalize(normalize_weights(weights_t, hc) ** (1.0 / self.Tp), axis=-1)
+            w_flip = normalize_weights(weights_t ** (1.0 / self.Tp), hc_flip)
+            w_with = jnp.where(in_cluster_now[:, None, None], w_cur, w_flip)
+            w_without = jnp.where(in_cluster_now[:, None, None], w_flip, w_cur)
+
+            lh_with = jnp.einsum("nfc,nfc->nf", all_lh, w_with)
+            lh_without = jnp.einsum("nfc,nfc->nf", all_lh, w_without)
+            log_m1 = jnp.log(jnp.maximum(lh_with, TINY)).sum(-1)
+            log_m0 = jnp.log(jnp.maximum(lh_without, TINY)).sum(-1)
+            return log_m0, log_m1
+
+        if not chunked:
+            log_m0, log_m1 = slice_body(p_eff, feats, na, weights_t, cl_counts_t,
+                                        conf_counts_t, conc_cluster_t, conc_conf_t)
+            return log_m0 / self.T, log_m1 / self.T
+
+        from sbayes_tpu.model.math import feature_tile
+
+        unif = jnp.asarray(c.unif_conc)
+        conc_cluster = jnp.asarray(c.conc_cluster)
+        conc_conf = jnp.asarray(c.conc_conf)
+        feats_full = jnp.asarray(c.features)
+        na_full = jnp.asarray(c.na)
+
+        def tile_body(i):
+            conc_cluster_t = feature_tile(conc_cluster, i, fc, axis=0)
+            unif_t = feature_tile(unif, i, fc, axis=0)
+            cl_counts_t = feature_tile(cl_counts, i, fc, axis=1)
+            # 'gibbs' effect proposal on the tile (F-separable)
+            p_eff = normalize(
+                unif_t + (conc_cluster_t - unif_t) / self.Tp + cl_counts_t[i_cluster] / self.T,
+                axis=-1,
+            )
+            return slice_body(
+                p_eff,
+                feature_tile(feats_full, i, fc, axis=1),
+                feature_tile(na_full, i, fc, axis=1),
+                feature_tile(state.weights, i, fc, axis=0),
+                cl_counts_t,
+                feature_tile(conf_counts, i, fc, axis=2),
+                conc_cluster_t,
+                feature_tile(conc_conf, i, fc, axis=2),
+            )
+
+        m0_t, m1_t = jax.lax.map(tile_body, jnp.arange(c.F // fc))
+        return m0_t.sum(0) / self.T, m1_t.sum(0) / self.T
 
     def _cluster_posterior(self, state, i_cluster, avail, consider_geo, geo_scaler=1.0,
                            additive_smoothing=1e-6, gibbsish=True, effect_proposal="gibbs",
-                           counts=None):
+                           counts=None, heat_effect_lh=False):
         """(N,) membership probability of each object (meaningful at avail)."""
         if self.sample_from_prior or not gibbsish:
             return jnp.full((self.consts.N,), 0.5, jnp.float32)
 
         log_m0, log_m1 = self._log_marginal_with_without(
-            state, i_cluster, avail, effect_proposal=effect_proposal, counts=counts
+            state, i_cluster, avail, effect_proposal=effect_proposal, counts=counts,
+            heat_effect_lh=heat_effect_lh,
         )
         if consider_geo:
             geo = self.cond.post.geo_prior_costs_per_object(state.clusters, i_cluster)
@@ -203,6 +270,38 @@ class OperatorFactory:
 
     def _occupied(self, clusters):
         return jnp.any(clusters, axis=0)
+
+    def _delta_counts(self, counts, obj, clusters_old, clusters_new,
+                      src_old_row, src_new_row):
+        """Exact O(F·S) sufficient-statistic update for ONE object's
+        membership/source change (grow/shrink/jump). Replaces the full
+        O(N·F·S) count einsum for the candidate state — exact because the
+        counts are integer-valued f32 (sums of 0/1 products < 2^24).
+
+        Args:
+            counts: (cl_counts (K,F,S), conf_counts (C-1,G,F,S)) of the OLD
+                state.
+            obj: the changed object's index.
+            src_old_row / src_new_row: (F, C) one-hot source rows of obj.
+        """
+        c = self.consts
+        cl_counts, conf_counts = counts
+        feats_o = jnp.asarray(c.features)[obj]  # (F, S)
+        dtype = feats_o.dtype
+
+        old0 = feats_o * src_old_row[:, 0].astype(dtype)[:, None]  # (F, S)
+        new0 = feats_o * src_new_row[:, 0].astype(dtype)[:, None]
+        cl = (
+            cl_counts
+            - clusters_old[:, obj].astype(dtype)[:, None, None] * old0[None]
+            + clusters_new[:, obj].astype(dtype)[:, None, None] * new0[None]
+        )
+
+        g_o = jnp.asarray(c.groups)[:, :, obj]  # (C-1, Gmax)
+        oldc = feats_o[None] * src_old_row[:, 1:].T.astype(dtype)[:, :, None]  # (C-1,F,S)
+        newc = feats_o[None] * src_new_row[:, 1:].T.astype(dtype)[:, :, None]
+        conf = conf_counts + g_o[:, :, None, None] * (newc - oldc)[:, None]
+        return cl, conf
 
     def _grow_candidates(self, clusters, i_cluster, neighbourhood: str):
         """Boolean growth-candidate mask (reference: operators.py:1097-1107)."""
@@ -253,10 +352,12 @@ class OperatorFactory:
             rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_cluster,
                                             conf_counts_full=counts[1])
             state_new = state._replace(clusters=clusters_new, source=rs.source)
+            counts_new = self._delta_counts(counts, obj, state.clusters, clusters_new,
+                                            state.source[obj], rs.source[obj])
 
             # Backward: removal probability in the new state
             shrink_cand = clusters_new[i_cluster]
-            p_back = _heat_prob(posterior(state_new, i_cluster, shrink_cand), self.T)
+            p_back = _heat_prob(posterior(state_new, i_cluster, shrink_cand, counts_new), self.T)
             p_rm = jnp.where(shrink_cand, 1.0 - p_back, 0.0)
             p_remove = p_rm / jnp.maximum(p_rm.sum(), TINY)
 
@@ -264,8 +365,8 @@ class OperatorFactory:
             log_q_back = (
                 jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q_back + jnp.log(1 - p_grow)
             )
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
-            return _select_result(rejected, _reject(state), res)
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0), counts_new)
+            return _select_result(rejected, _reject(state, counts), res)
 
         def shrink(key, state, i_cluster, counts):
             k_obj, k_src = jax.random.split(key)
@@ -283,18 +384,20 @@ class OperatorFactory:
             rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_cluster,
                                             conf_counts_full=counts[1])
             state_new = state._replace(clusters=clusters_new, source=rs.source)
+            counts_new = self._delta_counts(counts, obj, state.clusters, clusters_new,
+                                            state.source[obj], rs.source[obj])
 
             # Backward: add probability in the new state
             grow_cand = self._grow_candidates(clusters_new, i_cluster, neighbourhood)
             rejected = rejected | ~grow_cand[obj]
-            p_back = _heat_prob(posterior(state_new, i_cluster, grow_cand), self.T)
+            p_back = _heat_prob(posterior(state_new, i_cluster, grow_cand, counts_new), self.T)
             pb_vec = jnp.where(grow_cand, p_back, 0.0)
             p_add = pb_vec / jnp.maximum(pb_vec.sum(), TINY)
 
             log_q = jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q + jnp.log(1 - p_grow)
             log_q_back = jnp.log(jnp.maximum(p_add[obj], TINY)) + rs.log_q_back + jnp.log(p_grow)
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
-            return _select_result(rejected, _reject(state), res)
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0), counts_new)
+            return _select_result(rejected, _reject(state, counts), res)
 
         def op(key, state):
             k_c, k_g, k_branch = jax.random.split(key, 3)
@@ -333,6 +436,7 @@ class OperatorFactory:
                 state, i_cluster, avail, consider_geo=consider_geo,
                 geo_scaler=geo_scaler, additive_smoothing=0.0,
                 effect_proposal=effect_proposal, counts=counts,
+                heat_effect_lh=True,
             )
             p_raw = jnp.where(avail, p_raw, 0.0)
             p = (p_raw + EPS32) / jnp.maximum((p_raw + EPS32 * avail).sum(), TINY) * avail
@@ -411,8 +515,11 @@ class OperatorFactory:
             rs = cond.gibbs_resample_source(k_src, state, clusters_new, changed, i_cluster,
                                             conf_counts_full=counts[1])
             state_new = state._replace(clusters=clusters_new, source=rs.source)
+            # multi-object change: full recompute, but shared by the
+            # backward probs AND the MH kernel via OpResult.counts
+            counts_new = cond.post.feature_counts(clusters_new, rs.source)
 
-            p_back = cluster_probs(state_new, i_cluster, avail)
+            p_back = cluster_probs(state_new, i_cluster, avail, counts_new)
             qb_site = jnp.where(cluster_old, p_back, 1.0 - p_back)
             log_q_back = jnp.where(avail, jnp.log(jnp.maximum(qb_site, TINY)), 0.0).sum()
             ssb_site = jnp.where(cluster_new, p_back, 1.0 - p_back)
@@ -424,8 +531,9 @@ class OperatorFactory:
                 log_q + rs.log_q,
                 log_q_back + rs.log_q_back,
                 changed.sum().astype(jnp.float32),
+                counts_new,
             )
-            return _select_result(rejected, _reject(state), res)
+            return _select_result(rejected, _reject(state, counts), res)
 
         return op
 
@@ -474,35 +582,77 @@ class OperatorFactory:
             """(N,) probability that each source-cluster member prefers the
             target cluster (reference: get_jump_lh, operators.py:1679-1722).
             Meaningful at members of cluster i_src. Keeps the reference's
-            float32-EPS flooring semantics (tiny products become uniform)."""
+            float32-EPS flooring semantics (tiny products become uniform).
+            Feature-separable: tiles over F when consts.feature_chunk set."""
             c = consts
-            feats = jnp.asarray(c.features)
-            source_cluster = state.clusters[i_src]
             hc = cond.post.has_components(state.clusters)
-            w = normalize_weights(state.weights, hc)
-            w_heated = normalize(w ** (1.0 / self.Tp), axis=-1)
-            w_clust = w_heated[:, :, 0]  # (N, F)
+            groups = jnp.asarray(c.groups)
 
-            def effect(i):
-                return conditional_effect_mean(
-                    prior_counts=jnp.asarray(c.conc_cluster),
-                    feature_counts=cl_counts[i],
-                    unif_counts=jnp.asarray(c.unif_conc),
+            def slice_logs(feats_t, na_t, weights_t, cl_counts_t, conf_counts_t,
+                           conc_cluster_t, unif_t, conc_conf_t):
+                """Partial (N,) log-lh sums for stay/jump on one F-slice."""
+                w = normalize_weights(weights_t, hc)
+                w_heated = normalize(w ** (1.0 / self.Tp), axis=-1)
+                w_clust = w_heated[:, :, 0]  # (N, f)
+
+                def effect(i):
+                    return conditional_effect_mean(
+                        prior_counts=conc_cluster_t,
+                        feature_counts=cl_counts_t[i],
+                        unif_counts=unif_t,
+                        prior_temperature=self.Tp,
+                        temperature=self.T,
+                    )
+
+                p_conf_eff = conditional_effect_mean(
+                    prior_counts=conc_conf_t,
+                    feature_counts=conf_counts_t,
+                    unif_counts=unif_t[None, None],
                     prior_temperature=self.Tp,
                     temperature=self.T,
                 )
+                p_conf = jnp.einsum("cgn,cgfs,nfc->nfs", groups, p_conf_eff,
+                                    w_heated[:, :, 1:])
 
-            p_src, p_tgt = effect(i_src), effect(i_tgt)
-            p_conf = cond.expected_confounder_features(state.clusters, state.weights, conf_counts)
+                def log_marginal(p_clust):
+                    p_total = p_conf + w_clust[:, :, None] * p_clust[None]
+                    lh_f = jnp.einsum("nfs,nfs->nf", feats_t, p_total)
+                    return jnp.where(~na_t, jnp.log(jnp.maximum(lh_f, TINY)), 0.0).sum(-1)
 
-            def marginal(p_clust):
-                p_total = p_conf + w_clust[:, :, None] * p_clust[None]
-                lh_f = jnp.einsum("nfs,nfs->nf", feats, p_total)
-                log_lh = jnp.where(~na, jnp.log(jnp.maximum(lh_f, TINY)), 0.0).sum(-1)
-                return jnp.exp(log_lh / self.T) + EPS32
+                return log_marginal(effect(i_src)), log_marginal(effect(i_tgt))
 
-            lh_stay = marginal(p_src)
-            lh_jump = marginal(p_tgt)
+            fc = c.feature_chunk
+            if fc is None or fc >= c.F:
+                log_stay, log_jump = slice_logs(
+                    jnp.asarray(c.features), na, state.weights, cl_counts, conf_counts,
+                    jnp.asarray(c.conc_cluster), jnp.asarray(c.unif_conc),
+                    jnp.asarray(c.conc_conf),
+                )
+            else:
+                from sbayes_tpu.model.math import feature_tile
+
+                feats_full, na_full = jnp.asarray(c.features), jnp.asarray(c.na)
+                conc_cl, unif, conc_cf = (jnp.asarray(c.conc_cluster),
+                                          jnp.asarray(c.unif_conc),
+                                          jnp.asarray(c.conc_conf))
+
+                def tile_body(i):
+                    return slice_logs(
+                        feature_tile(feats_full, i, fc, axis=1),
+                        feature_tile(na_full, i, fc, axis=1),
+                        feature_tile(state.weights, i, fc, axis=0),
+                        feature_tile(cl_counts, i, fc, axis=1),
+                        feature_tile(conf_counts, i, fc, axis=2),
+                        feature_tile(conc_cl, i, fc, axis=0),
+                        feature_tile(unif, i, fc, axis=0),
+                        feature_tile(conc_cf, i, fc, axis=2),
+                    )
+
+                ls_t, lj_t = jax.lax.map(tile_body, jnp.arange(c.F // fc))
+                log_stay, log_jump = ls_t.sum(0), lj_t.sum(0)
+
+            lh_stay = jnp.exp(log_stay / self.T) + EPS32
+            lh_jump = jnp.exp(log_jump / self.T) + EPS32
             return lh_jump / (lh_jump + lh_stay)
 
         def op(key, state):
@@ -526,11 +676,15 @@ class OperatorFactory:
             obj = _masked_categorical(k_obj, pj_vec, source_cluster)
             clusters_new = state.clusters.at[i_src, obj].set(False).at[i_tgt, obj].set(True)
             subset = jnp.zeros(N, bool).at[obj].set(True)
-            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_tgt,
-                                            conf_counts_full=conf_counts)
+            rs = cond.gibbs_resample_source_jump(k_src, state, clusters_new, subset,
+                                                 i_cluster_new=i_tgt, i_cluster_old=i_src,
+                                                 conf_counts_full=conf_counts)
             state_new = state._replace(clusters=clusters_new, source=rs.source)
 
-            cl_counts2, conf_counts2 = cond.post.feature_counts(clusters_new, state_new.source)
+            cl_counts2, conf_counts2 = self._delta_counts(
+                (cl_counts, conf_counts), obj, state.clusters, clusters_new,
+                state.source[obj], rs.source[obj],
+            )
             if gibbsish and not self.sample_from_prior:
                 pjb = jump_lh(state_new, cl_counts2, conf_counts2, i_tgt, i_src)
             else:
@@ -541,15 +695,10 @@ class OperatorFactory:
 
             log_q = jnp.log(jnp.maximum(p_jump[obj], TINY)) + rs.log_q
             log_q_back = jnp.log(jnp.maximum(p_jump_back[obj], TINY)) + rs.log_q_back
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
-            return _select_result(rejected, _reject(state), res)
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
+                           (cl_counts2, conf_counts2))
+            return _select_result(rejected, _reject(state, (cl_counts, conf_counts)), res)
 
-        # The jump operator's source resample uses the NEW cluster for the
-        # forward pass and the OLD cluster for the backward pass, with
-        # lh computed per direction (reference gibbs_sample_source_jump,
-        # operators.py:1775-1827). gibbs_resample_source covers the forward
-        # direction; the backward lh differs only through the (identical)
-        # leave-subset-out counts, so the shared path is exact here too.
         return op
 
     # ==================================================================
@@ -597,13 +746,14 @@ class OperatorFactory:
             capped = jnp.zeros(N, bool).at[top_idx].set(jnp.isfinite(top_vals))
             return jnp.where(g_size > k_cap, capped, member)
 
-        def posterior_probs(state):
+        def posterior_probs(state, counts=None):
             if self.sample_from_prior:
                 w = normalize_weights(state.weights, cond.post.has_components(state.clusters))
                 return normalize(w ** (1.0 / self.Tp), axis=-1)
-            return cond.source_posterior(state.clusters, state.weights, state.source)
+            return cond.source_posterior(state.clusters, state.weights, state.source,
+                                         counts=counts)
 
-        def op(key, state):
+        def op_fused(key, state):
             k_sel, k_draw = jax.random.split(key)
             subset = select_subset(k_sel, state)
 
@@ -614,13 +764,83 @@ class OperatorFactory:
             state_new = state._replace(source=source_new)
 
             log_q = cond._masked_source_logp(p, source_new, subset)
-            p_back = posterior_probs(state_new)
+            counts_new = (None if self.sample_from_prior
+                          else cond.post.feature_counts(state.clusters, source_new))
+            p_back = posterior_probs(state_new, counts_new)
             log_q_back = cond._masked_source_logp(p_back, state.source, subset)
 
             step_size = (source_new ^ state.source).sum().astype(jnp.float32)
-            return OpResult(state_new, log_q, log_q_back, step_size)
+            return OpResult(state_new, log_q, log_q_back, step_size, counts_new)
 
-        return op
+        def op_tiled(key, state):
+            """Two tile sweeps: sample forward from the OLD counts, then
+            score the backward density from the NEW counts — identical
+            math to op_fused with tile-sized intermediates."""
+            from sbayes_tpu.model.math import feature_tile
+
+            c = consts
+            fc = c.feature_chunk
+            n_tiles = c.F // fc
+            k_sel, k_draw = jax.random.split(key)
+            subset = select_subset(k_sel, state)
+            hc = cond.post.has_components(state.clusters)
+            feats_full, na_full = jnp.asarray(c.features), jnp.asarray(c.na)
+            conc_cl, conc_cf = jnp.asarray(c.conc_cluster), jnp.asarray(c.conc_conf)
+
+            def probs_tile(i, weights_t, cl_counts, conf_counts, na_t):
+                if self.sample_from_prior:
+                    w = normalize_weights(weights_t, hc)
+                    return normalize(w ** (1.0 / self.Tp), axis=-1)
+                lh = cond.likelihood_per_component_slice(
+                    state.clusters,
+                    feature_tile(cl_counts, i, fc, axis=1),
+                    feature_tile(conf_counts, i, fc, axis=2),
+                    feature_tile(feats_full, i, fc, axis=1),
+                    na_t,
+                    feature_tile(conc_cl, i, fc, axis=0),
+                    feature_tile(conc_cf, i, fc, axis=2),
+                )
+                w = normalize_weights(weights_t, hc)
+                return normalize(lh ** (1.0 / self.T) * w ** (1.0 / self.Tp), axis=-1)
+
+            counts_old = (None, None) if self.sample_from_prior else \
+                cond.post.feature_counts(state.clusters, state.source)
+            keys = jax.random.split(k_draw, n_tiles)
+
+            def fwd_tile(args):
+                i, k = args
+                na_t = feature_tile(na_full, i, fc, axis=1)
+                w_t = feature_tile(state.weights, i, fc, axis=0)
+                src_t = feature_tile(state.source, i, fc, axis=1)
+                p = probs_tile(i, w_t, *counts_old, na_t)
+                x = sample_categorical_onehot(k, p) & ~na_t[:, :, None]
+                src_new_t = jnp.where(subset[:, None, None], x, src_t)
+                log_q_t = cond._masked_logp_slice(p, src_new_t, subset, na_t)
+                return src_new_t, log_q_t
+
+            src_t, lq_t = jax.lax.map(fwd_tile, (jnp.arange(n_tiles), keys))
+            source_new = jnp.moveaxis(src_t, 0, 1).reshape(c.N, c.F, c.C)
+            log_q = lq_t.sum()
+            state_new = state._replace(source=source_new)
+
+            counts_new = (None, None) if self.sample_from_prior else \
+                cond.post.feature_counts(state.clusters, source_new)
+
+            def back_tile(i):
+                na_t = feature_tile(na_full, i, fc, axis=1)
+                w_t = feature_tile(state.weights, i, fc, axis=0)
+                src_old_t = feature_tile(state.source, i, fc, axis=1)
+                p_back = probs_tile(i, w_t, *counts_new, na_t)
+                return cond._masked_logp_slice(p_back, src_old_t, subset, na_t)
+
+            log_q_back = jax.lax.map(back_tile, jnp.arange(n_tiles)).sum()
+
+            step_size = (source_new ^ state.source).sum().astype(jnp.float32)
+            return OpResult(state_new, log_q, log_q_back, step_size,
+                            None if self.sample_from_prior else counts_new)
+
+        fc = consts.feature_chunk
+        return op_tiled if (fc is not None and fc < consts.F) else op_fused
 
     # ==================================================================
     # GibbsSampleWeights: per-feature independent MH on two components
@@ -635,10 +855,44 @@ class OperatorFactory:
         na = jnp.asarray(consts.na)
         conc_w = jnp.asarray(consts.conc_weights)
 
-        def source_lh_by_feature(source, w_normed):
-            p = (source * w_normed).sum(-1)
-            p = jnp.where(na, 1.0, p)
-            return jnp.log(jnp.maximum(p, TINY)).sum(0)  # (F,)
+        fc = consts.feature_chunk
+        chunked = fc is not None and fc < F
+
+        def source_lh_by_feature(source, weights, hc):
+            """(F,) per-feature log-lh of the source draws (tiled at scale)."""
+
+            def slice_fn(source_t, weights_t, na_t):
+                w_normed = normalize_weights(weights_t, hc)
+                p = (source_t * w_normed).sum(-1)
+                p = jnp.where(na_t, 1.0, p)
+                return jnp.log(jnp.maximum(p, TINY)).sum(0)  # (f,)
+
+            if not chunked:
+                return slice_fn(source, weights, na)
+            from sbayes_tpu.model.math import feature_tile
+
+            def tile_body(i):
+                return slice_fn(feature_tile(source, i, fc, axis=1),
+                                feature_tile(weights, i, fc, axis=0),
+                                feature_tile(na, i, fc, axis=1))
+
+            return jax.lax.map(tile_body, jnp.arange(F // fc)).reshape(F)
+
+        def component_pair_counts(has_both, source, dtype):
+            """(F, C) counts of source draws over has_both objects (tiled)."""
+
+            def slice_fn(source_t):
+                return jnp.einsum("n,nfc->fc", has_both.astype(dtype), source_t.astype(dtype))
+
+            if not chunked:
+                return slice_fn(source)
+            from sbayes_tpu.model.math import feature_tile
+
+            counts_t = jax.lax.map(
+                lambda i: slice_fn(feature_tile(source, i, fc, axis=1)),
+                jnp.arange(F // fc),
+            )
+            return counts_t.reshape(F, C)
 
         def pointwise_prior(weights):
             return cond.post.weights_prior_pointwise(weights)
@@ -648,18 +902,14 @@ class OperatorFactory:
             w = state.weights
             hc = cond.post.has_components(state.clusters)
 
-            w_norm_old = normalize_weights(w, hc)
-            ll_old = source_lh_by_feature(state.source, w_norm_old)
+            ll_old = source_lh_by_feature(state.source, w, hc)
             lp_old = pointwise_prior(w)
 
             pair = jax.random.permutation(k_pair, C)
             i1, i2 = pair[0], pair[1]
 
             has_both = hc[:, i1] & hc[:, i2]
-            counts = (
-                jnp.einsum("n,nfc->fc", has_both.astype(w.dtype), state.source.astype(w.dtype))
-                + conc_w
-            )
+            counts = component_pair_counts(has_both, state.source, w.dtype) + conc_w
             c1 = counts[:, i1] / self.Tp
             c2 = counts[:, i2] / self.Tp
 
@@ -678,8 +928,7 @@ class OperatorFactory:
             log_q = beta_logpdf(a2, a_beta, b_beta)
             log_q_back = beta_logpdf(a2_old, a_beta, b_beta)
 
-            w_norm_new = normalize_weights(w_new, hc)
-            ll_new = source_lh_by_feature(state.source, w_norm_new)
+            ll_new = source_lh_by_feature(state.source, w_new, hc)
             lp_new = pointwise_prior(w_new)
 
             p_accept = jnp.exp((ll_new + lp_new - ll_old - lp_old + log_q_back - log_q) / self.Tp)
