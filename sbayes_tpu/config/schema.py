@@ -392,7 +392,10 @@ class MCMCConfig(BaseConfig):
     """If true, ignore the data and sample from the prior."""
 
     grow_to_adjacent: Annotated[float, Field(ge=0, le=1)] = 0.8
-    """Fraction of grow-steps restricted to adjacent objects."""
+    """Fraction of grow-steps restricted to adjacent objects. Accepted for
+    config compatibility but inert: the reference stores it as
+    ClusterOperator.p_grow_connected (operators.py:721) and never reads it
+    either — neighbourhood restriction is set per scheduled operator."""
 
     screen_log_interval: PositiveInt = 1000
     """Step interval of screen-log lines."""
@@ -459,6 +462,14 @@ class ResultsConfig(BaseConfig):
 
     float_precision: PositiveInt = 8
     """Number of decimal places of real-valued parameters in the stats file."""
+
+    log_contribution_per_cluster: bool = False
+    """Whether to log per-cluster likelihood/prior contribution columns
+    (post_a*, lh_a*, prior_a*) in the stats file."""
+
+    log_operator_step_times: bool = True
+    """Whether to measure per-operator step times (one timing probe per
+    run; adds a few small compilations) for the operator_stats file."""
 
 
 class SBayesConfig(BaseConfig):

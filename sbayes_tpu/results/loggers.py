@@ -46,6 +46,9 @@ class SampleRecord:
     conf_counts: Optional[NDArray] = None      # (C-1, Gmax, F, S)
     # per-observation likelihood (for the likelihood logger)
     observation_lh: Optional[NDArray] = None   # (N, F)
+    # per-cluster isolated contribution (for log_contribution_per_cluster)
+    cluster_contribution_lh: Optional[NDArray] = None     # (K,)
+    cluster_contribution_prior: Optional[NDArray] = None  # (K,)
     chain: int = 0
 
     def to_state_dict(self) -> dict:
@@ -110,12 +113,13 @@ class ParametersCSVLogger(ResultsLogger):
 
     def __init__(self, *args, log_source: bool = False, float_format: str = "%.8g",
                  match_clusters: bool = True, log_sample_id: bool = True, seed: int = 0,
-                 **kwargs):
+                 log_contribution_per_cluster: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.float_format = float_format
         self.match_clusters = match_clusters
         self.log_source = log_source
         self.log_sample_id = log_sample_id
+        self.log_contribution_per_cluster = log_contribution_per_cluster
         self.rng = np.random.default_rng(seed)
         self.cluster_sum = np.zeros((self.consts.K, self.consts.N), dtype=int)
         self.column_names: Optional[list] = None
@@ -156,6 +160,12 @@ class ParametersCSVLogger(ResultsLogger):
                 for comp in ["clusters", *c.conf_names]:
                     column_names.append(f"source_{comp}_{f}")
 
+        # per-cluster lh/prior/posterior contributions (reference column
+        # order: loggers.py:140-143, right before the prior columns)
+        if self.log_contribution_per_cluster:
+            for i in range(c.K):
+                column_names += [f"post_a{i}", f"lh_a{i}", f"prior_a{i}"]
+
         column_names += ["cluster_size_prior", "geo_prior", "source_prior", "weights_prior"]
         if self.log_sample_id:
             column_names.append("sample_id")
@@ -174,11 +184,16 @@ class ParametersCSVLogger(ResultsLogger):
         cluster_effect = _sample_dirichlet_effects(
             self.rng, sample.cluster_counts, np.asarray(c.conc_cluster)[None], applicable[None]
         )
+        contrib_lh = sample.cluster_contribution_lh
+        contrib_prior = sample.cluster_contribution_prior
 
         if self.match_clusters:
             permutation = get_best_permutation(clusters, self.cluster_sum)
             cluster_effect = cluster_effect[permutation]
             clusters = clusters[permutation]
+            if contrib_lh is not None:
+                contrib_lh = contrib_lh[permutation]
+                contrib_prior = contrib_prior[permutation]
             self.cluster_sum += clusters
 
         row: dict = {
@@ -218,6 +233,14 @@ class ParametersCSVLogger(ResultsLogger):
             for i_f, f in enumerate(feature_names):
                 for i_c, comp in enumerate(["clusters", *c.conf_names]):
                     row[f"source_{comp}_{f}"] = mean_source[i_f, i_c]
+
+        if self.log_contribution_per_cluster:
+            for i in range(c.K):
+                lh_i = contrib_lh[i] if contrib_lh is not None else float("nan")
+                pr_i = contrib_prior[i] if contrib_prior is not None else float("nan")
+                row[f"lh_a{i}"] = lh_i
+                row[f"prior_a{i}"] = pr_i
+                row[f"post_a{i}"] = lh_i + pr_i
 
         row["cluster_size_prior"] = sample.size_prior
         row["geo_prior"] = sample.geo_prior

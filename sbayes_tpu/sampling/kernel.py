@@ -66,11 +66,13 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
 
     from sbayes_tpu.sampling.state import PRIOR_SOURCE, PRIOR_WEIGHTS
 
-    def evaluate_candidate(spec: OperatorSpec, old_state, cand):
+    def evaluate_candidate(spec: OperatorSpec, old_state, cand, counts=None):
         """Posterior bookkeeping of the candidate, specialized to the terms
-        the operator can actually change (static per branch)."""
+        the operator can actually change (static per branch). ``counts``
+        are the operator-threaded exact candidate counts (OpResult.counts),
+        saving the count-einsum recompute."""
         if spec.changes == "clusters":
-            parts = post.parts(cand)
+            parts = post.parts(cand, counts=counts)
             ll = parts.log_lh
             pp = jnp.stack(
                 [parts.size_prior, parts.geo_prior, parts.weights_prior, parts.source_prior]
@@ -79,6 +81,8 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
             # clusters & weights untouched: size/geo/weights priors carry over
             if sfp:
                 ll = jnp.zeros((), jnp.float32)
+            elif counts is not None:
+                ll = post.log_likelihood_from_counts(*counts)
             else:
                 ll = post.log_likelihood(cand)
             sp = post.source_prior(cand.clusters, cand.weights, cand.source)
@@ -97,7 +101,7 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
         def branch(key, state):
             k_prop, k_u = jax.random.split(key)
             res = spec.fn(k_prop, state)
-            cand = evaluate_candidate(spec, state, res.state)
+            cand = evaluate_candidate(spec, state, res.state, counts=res.counts)
 
             gibbs = jnp.isneginf(res.log_q)
             direct_reject = jnp.isneginf(res.log_q_back)

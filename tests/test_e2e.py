@@ -109,6 +109,67 @@ def test_sample_from_prior_mode(results_dir):
     np.testing.assert_allclose(res.likelihood, 0.0, atol=1e-6)
 
 
+def test_contribution_per_cluster_columns(results_dir):
+    out = _run(
+        results_dir,
+        custom={
+            "mcmc": {"steps": 100, "samples": 5},
+            "model": {"clusters": 2},
+            "results": {"log_contribution_per_cluster": True},
+        },
+        name="contrib",
+    )
+    stats = (results_dir / "contrib" / "K2" / "stats_K2_0.txt").read_text().splitlines()
+    header = stats[0].split("\t")
+    for col in ("post_a0", "lh_a0", "prior_a0", "post_a1", "lh_a1", "prior_a1"):
+        assert col in header, f"missing column {col}"
+    # reference column order: contributions come right before the priors
+    assert header.index("prior_a1") < header.index("cluster_size_prior")
+    row = dict(zip(header, stats[1].split("\t")))
+    for i in (0, 1):
+        lh_i, pr_i, po_i = (float(row[f"{k}_a{i}"]) for k in ("lh", "prior", "post"))
+        # lh_a* is a source-marginalized mixture log-likelihood: finite and
+        # negative (it is NOT comparable to the collapsed `likelihood` column)
+        assert np.isfinite(lh_i) and np.isfinite(pr_i) and lh_i < 0
+        np.testing.assert_allclose(po_i, lh_i + pr_i, rtol=1e-5, atol=1e-4)
+
+
+def test_operator_step_times_are_measured(results_dir):
+    out = _run(results_dir, custom={"mcmc": {"steps": 100, "samples": 5}}, name="optimes")
+    txt = (out / "operator_stats_K1_0.txt").read_text().splitlines()
+    header = txt[0]
+    i_col = header.index("STEP-TIME")
+    times = []
+    for line in txt[1:]:
+        cell = line[i_col:].split("ms")[0].strip()
+        if cell and cell != "-":
+            times.append(float(cell))
+    assert times and all(t >= 0 for t in times)
+
+
+def test_mc3_sample_cadence_independent_of_swaps(results_dir):
+    """swap_interval > logging interval must still produce all samples
+    (round-1 bug: sample count was silently divided by the swap cadence)."""
+    out = _run(
+        results_dir,
+        custom={
+            "mcmc": {
+                "steps": 200, "samples": 10,
+                "warmup": {"warmup_steps": 10, "warmup_chains": 2},
+                "mc3": {"activate": True, "chains": 2, "swap_interval": 50,
+                        "temperature_diff": 0.2},
+            }
+        },
+        name="mc3cadence",
+    )
+    n_rows = len((out / "clusters_K1_0.txt").read_text().splitlines())
+    assert n_rows == 10, f"expected 10 samples, got {n_rows}"
+    from sbayes_tpu.results.results import Results
+
+    res = Results.from_csv_files(out / "clusters_K1_0.txt", out / "stats_K1_0.txt", burn_in=0.0)
+    assert list(res.sample_id) == list(range(20, 201, 20))
+
+
 def test_mc3_run(results_dir):
     out = _run(
         results_dir,
