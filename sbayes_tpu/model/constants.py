@@ -141,6 +141,14 @@ class ModelConstants:
     min_size: int
     max_size: int
 
+    # Feature-tiled execution: when set, the O(N*F) kernels (counts,
+    # collapsed likelihoods, source resampling, membership marginals) run
+    # as a lax.map over F-tiles of this width instead of one fused program.
+    # Mathematically identical (everything is feature-separable given the
+    # counts); keeps intermediates tile-sized and XLA compile time bounded
+    # at scale (the 10k x 5k workload). None = fully fused (small models).
+    feature_chunk: Optional[int] = None
+
     # misc
     dtype: Any = np.float32
 
@@ -282,6 +290,8 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
     # as HLO literals (which bloats every compile and breaks at large N*F).
     import jax.numpy as jnp
 
+    feature_chunk = auto_feature_chunk(N, F)
+
     return ModelConstants(
         shapes=shapes,
         features=jnp.asarray(features.values.astype(FLOAT_TYPE)),
@@ -306,4 +316,30 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
         size_prior_type=size_prior_type,
         min_size=int(sp_cfg.min),
         max_size=int(min(sp_cfg.max, N)),
+        feature_chunk=feature_chunk,
     )
+
+
+def auto_feature_chunk(n_objects: int, n_features: int,
+                       cell_threshold: int = 4_000_000,
+                       target: int = 512) -> Optional[int]:
+    """Feature-tile width for large models: the divisor of F closest to
+    ``target`` (None for small models, keeping the fully fused path).
+    Env override ``SBAYES_TPU_FEATURE_CHUNK``: 0 forces fused, any other
+    integer forces that tile width (must divide F)."""
+    import os
+
+    env = os.environ.get("SBAYES_TPU_FEATURE_CHUNK")
+    if env is not None:
+        fc = int(env)
+        if fc <= 0 or fc >= n_features:
+            return None
+        assert n_features % fc == 0, (
+            f"SBAYES_TPU_FEATURE_CHUNK={fc} must divide n_features={n_features}"
+        )
+        return fc
+    if n_objects * n_features <= cell_threshold:
+        return None
+    divisors = [d for d in range(1, n_features + 1) if n_features % d == 0]
+    best = min(divisors, key=lambda d: abs(d - target))
+    return best if best < n_features else None

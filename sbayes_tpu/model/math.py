@@ -63,7 +63,12 @@ def dirichlet_logpdf(x, alpha, where=None):
     return kernel - lognorm
 
 
-def compute_feature_counts(clusters, source, features, conf_groups):
+def feature_tile(x, i, f_chunk, axis=1):
+    """Slice one F-tile out of an array whose ``axis`` is the feature axis."""
+    return jax.lax.dynamic_slice_in_dim(x, i * f_chunk, f_chunk, axis=axis)
+
+
+def compute_feature_counts(clusters, source, features, conf_groups, f_chunk=None):
     """Sufficient-statistic counts for all mixture components, fully fused.
 
     The TPU equivalent of the incremental counts machinery
@@ -75,17 +80,40 @@ def compute_feature_counts(clusters, source, features, conf_groups):
         source: (N, F, C) one-hot component attribution of each observation.
         features: (N, F, S) one-hot observations (float).
         conf_groups: (C-1, Gmax, N) padded static confounder group masks (float).
+        f_chunk: optional feature-tile width (must divide F). When set, the
+            contraction runs as a lax.map over F-tiles — identical results,
+            tile-sized intermediates, bounded compile time at scale.
     Returns:
         cluster_counts: (K, F, S)
         conf_counts: (C-1, Gmax, F, S)
     """
     dtype = features.dtype
-    src0 = source[:, :, 0].astype(dtype)
-    fx0 = features * src0[:, :, None]
-    cluster_counts = jnp.einsum("kn,nfs->kfs", clusters.astype(dtype), fx0)
+    F = features.shape[1]
 
-    srcc = source[:, :, 1:].astype(dtype)
-    conf_counts = jnp.einsum("cgn,nfc,nfs->cgfs", conf_groups, srcc, features)
+    def counts_of(feats_t, source_t):
+        src0 = source_t[:, :, 0].astype(dtype)
+        fx0 = feats_t * src0[:, :, None]
+        cl = jnp.einsum("kn,nfs->kfs", clusters.astype(dtype), fx0)
+        srcc = source_t[:, :, 1:].astype(dtype)
+        conf = jnp.einsum("cgn,nfc,nfs->cgfs", conf_groups, srcc, feats_t)
+        return cl, conf
+
+    if f_chunk is None or f_chunk >= F:
+        return counts_of(features, source)
+
+    assert F % f_chunk == 0, f"f_chunk {f_chunk} must divide F {F}"
+    n_tiles = F // f_chunk
+
+    def tile_body(i):
+        return counts_of(feature_tile(features, i, f_chunk),
+                         feature_tile(source, i, f_chunk))
+
+    cl_t, conf_t = jax.lax.map(tile_body, jnp.arange(n_tiles))
+    # (T, K, fc, S) -> (K, F, S); (T, C-1, G, fc, S) -> (C-1, G, F, S)
+    K, _, S = cl_t.shape[1], cl_t.shape[2], cl_t.shape[3]
+    cluster_counts = jnp.moveaxis(cl_t, 0, 1).reshape(K, F, S)
+    Cm1, G = conf_t.shape[1], conf_t.shape[2]
+    conf_counts = jnp.moveaxis(conf_t, 0, 2).reshape(Cm1, G, F, S)
     return cluster_counts, conf_counts
 
 
@@ -130,10 +158,6 @@ def heat_binary_probability_logits(logit, temperature):
 
 def log_expit(x):
     return jax.nn.log_sigmoid(x)
-
-
-def gammaln_jax(x):
-    return gammaln(x)
 
 
 def log_multinom(n, ks, max_n: int):

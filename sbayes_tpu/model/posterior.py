@@ -70,7 +70,8 @@ class Posterior:
     def feature_counts(self, clusters, source):
         """(K,F,S) cluster counts and (C-1,Gmax,F,S) confounder counts."""
         c = self.consts
-        return compute_feature_counts(clusters, source, jnp.asarray(c.features), jnp.asarray(c.groups))
+        return compute_feature_counts(clusters, source, jnp.asarray(c.features),
+                                      jnp.asarray(c.groups), f_chunk=c.feature_chunk)
 
     def log_likelihood_from_counts(self, cluster_counts, conf_counts):
         c = self.consts
@@ -230,16 +231,38 @@ class Posterior:
     def source_prior(self, clusters, weights, source):
         """log P(source | weights) (reference: prior.py:568-611)."""
         c = self.consts
-        w = self.normalized_weights(weights, clusters)
-        p = (w * source).sum(-1)
-        valid = ~jnp.asarray(c.na)
-        return jnp.where(valid, jnp.log(jnp.where(valid, p, 1.0)), 0.0).sum()
+        hc = self.has_components(clusters)
+        na = jnp.asarray(c.na)
+
+        def logp_of(weights_t, source_t, na_t):
+            w = normalize_weights(weights_t, hc)
+            p = (w * source_t).sum(-1)
+            valid = ~na_t
+            return jnp.where(valid, jnp.log(jnp.where(valid, p, 1.0)), 0.0).sum()
+
+        fc = c.feature_chunk
+        if fc is None or fc >= c.F:
+            return logp_of(weights, source, na)
+
+        from sbayes_tpu.model.math import feature_tile
+
+        def tile_body(i):
+            return logp_of(feature_tile(weights, i, fc, axis=0),
+                           feature_tile(source, i, fc, axis=1),
+                           feature_tile(na, i, fc, axis=1))
+
+        return jax.lax.map(tile_body, jnp.arange(c.F // fc)).sum()
 
     # ---------------- bundles ----------------
 
-    def parts(self, state) -> PosteriorParts:
+    def parts(self, state, counts=None) -> PosteriorParts:
+        """Full posterior decomposition; ``counts`` may pass in the state's
+        precomputed sufficient-statistic counts (operators thread their
+        exact candidate counts through OpResult.counts)."""
         if self.sample_from_prior:
             log_lh = jnp.zeros((), jnp.asarray(self.consts.features).dtype)
+        elif counts is not None:
+            log_lh = self.log_likelihood_from_counts(*counts)
         else:
             log_lh = self.log_likelihood(state)
         return PosteriorParts(

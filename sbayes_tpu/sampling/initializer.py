@@ -89,19 +89,39 @@ class Initializer:
         z0 = jax.random.uniform(k_z, (G, N)) * avail
         z0 = z0 / jnp.maximum(z0.sum(0, keepdims=True), 1e-35)
 
-        # NA observations count as "any state" in the EM likelihood
-        feats_filled = jnp.where(valid[:, :, None], feats, 1.0)
-
         geo_on = c.geo.prior_type == "cost_based"
         cost = jnp.asarray(c.cost_matrix)
 
-        def em_step(i_step, z):
-            state_counts = jnp.einsum("gn,nfs->gfs", z, feats)
-            p = normalize(state_counts + prior_counts, axis=-1)
+        def group_lls_slice(z, feats_t, valid_t, prior_counts_t):
+            """(G, N) log-lh of each object under each group's EM effect on
+            one F-slice (NA observations count as 'any state')."""
+            feats_filled = jnp.where(valid_t[:, :, None], feats_t, 1.0)
+            state_counts = jnp.einsum("gn,nfs->gfs", z, feats_t)
+            p = normalize(state_counts + prior_counts_t, axis=-1)
             pointwise_ll = jnp.log(
                 jnp.maximum(jnp.einsum("gfs,nfs->gnf", p, feats_filled), 1e-35)
             )
-            group_lls = pointwise_ll.sum(-1)  # (G, N)
+            return pointwise_ll.sum(-1)
+
+        fc = c.feature_chunk
+
+        def group_lls_of(z):
+            if fc is None or fc >= c.F:
+                return group_lls_slice(z, feats, valid, prior_counts)
+            from sbayes_tpu.model.math import feature_tile
+
+            def tile_body(i):
+                return group_lls_slice(
+                    z,
+                    feature_tile(feats, i, fc, axis=1),
+                    feature_tile(valid, i, fc, axis=1),
+                    feature_tile(prior_counts, i, fc, axis=0),
+                )
+
+            return lax.map(tile_body, jnp.arange(c.F // fc)).sum(0)
+
+        def em_step(i_step, z):
+            group_lls = group_lls_of(z)  # (G, N)
 
             if geo_on:
                 z_peaky = jax.nn.softmax(N * z, axis=1)
