@@ -1,154 +1,186 @@
-"""Benchmark: MCMC throughput on the south_america-shaped workload.
+"""Benchmark: MCMC throughput on the REAL south_america experiment.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Metric: ESS/sec/chip — the BASELINE.json north-star metric — of a vmapped
-chain ensemble on a synthetic south_america-shaped dataset (100 objects x
-36 features x <=6 states, K=3, universal+family confounders). ESS is the
-multi-chain effective sample size (Stan-style; penalizes between-chain
-disagreement) of the log-posterior trace, measured with the SAME estimator
-on the reference sampler's trace (benchmarks/reference_baseline.py).
+chain ensemble on the actual south_america dataset (100 languages x 36
+features, K=3, 6 families, Dirichlet file priors; the reference's own
+headline workload). ESS is the multi-chain effective sample size
+(Stan-style; penalizes between-chain disagreement) of the log-posterior
+trace over a >=10k-steps-per-chain window, measured with the SAME
+estimator on the reference sampler's trace
+(benchmarks/reference_baseline.py --real).
 
-Baseline: the reference sampler measured on THIS machine via
-benchmarks/reference_baseline.py (shimmed numba -> scipy gammaln),
-multiplied by a measured numba-headroom margin: profiling shows only
-~10.5% of the reference's step time is spent inside the two numba kernels
-(the rest is Python/NumPy machinery numba does not accelerate), so even a
-10x numba speedup on those kernels bounds the whole-sampler headroom at
-~1.10x; we use a conservative 1.25x. See
-benchmarks/reference_baseline.json and benchmarks/kernel_fraction.md.
+A second measurement runs with a cost_based geo prior so the masked-Prim
+MST kernel (ops/mst.py) is inside the timed program (the real config uses
+geo: uniform, which compiles the geo path out); it is reported in the
+"geo_on" extra fields.
+
+Baseline: the reference sampler measured on THIS machine on the same real
+dataset (benchmarks/reference_baseline_real.json, numba shimmed with scipy
+gammaln), multiplied by a measured numba-headroom margin: profiling shows
+only ~10.5% of the reference's step time is inside the two numba kernels,
+so even a 10x numba speedup bounds whole-sampler headroom at ~1.10x; we
+use a conservative 1.25x (benchmarks/kernel_fraction.md).
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 from pathlib import Path
 
-import os
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(__file__).replace("bench.py", ".jax_cache_tpu"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(Path(__file__).parent / ".jax_cache_tpu"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
 
-# Reference single-core steps/sec measured by benchmarks/reference_baseline.py
-REFERENCE_MEASURED_STEPS_PER_SEC = 291.7
+SA_CONFIG = Path("/root/reference/experiments/south_america/config.yaml")
 # Measured: numba kernels are ~10.5% of reference step time -> headroom
 # bound ~1.10x; use 1.25x to stay conservative (benchmarks/kernel_fraction.md)
 NUMBA_HEADROOM_MARGIN = 1.25
-BASELINE_STEPS_PER_SEC = REFERENCE_MEASURED_STEPS_PER_SEC * NUMBA_HEADROOM_MARGIN
+# Fallback reference numbers if the baseline JSON is absent (measured on
+# this container, benchmarks/reference_baseline_real.json)
+FALLBACK_REF = {"steps_per_sec": 89.0, "ess_per_sec": 0.0618}
 
 N_CHAINS = 1024
 CHUNK_STEPS = 200
+EQUILIBRATION_CHUNKS = 10   # 2k steps/chain warm-up before the ESS window
+MEASURE_CHUNKS = 50         # 10k steps/chain ESS window (VERDICT r1 #4)
 
 
-def _measure(n_chains: int, chunk_steps: int) -> dict:
+def _build_runtime(geo_on: bool):
+    from sbayes_tpu.config.schema import SBayesConfig
+    from sbayes_tpu.data.loader import Data
+    from sbayes_tpu.model.model import Model
+    from sbayes_tpu.sampling.runner import SamplerRuntime
+
+    custom = {"results": {"log_operator_step_times": False}}
+    if geo_on:
+        # cost_based geo prior over the geodesic distance matrix: puts the
+        # masked-Prim MST (ops/mst.py) inside every cluster-operator branch
+        # and the posterior recompute. rate ~ mean pairwise distance scale.
+        custom["model"] = {"prior": {"geo": {
+            "type": "cost_based", "rate": 1_000_000.0, "aggregation": "mean",
+        }}}
+    config = SBayesConfig.from_config_file(SA_CONFIG, custom_settings=custom)
+    data = Data.from_config(config)
+    model = Model(data, config.model)
+    return SamplerRuntime(model, config.mcmc, sample_from_prior=False)
+
+
+def _measure(rt, n_chains: int, n_measure_chunks: int) -> dict:
     import numpy as np
 
-    from sbayes_tpu.model.model import Model
     from sbayes_tpu.results.ess import multichain_ess
     from sbayes_tpu.sampling.kernel import OperatorStats
-    from sbayes_tpu.sampling.runner import SamplerRuntime
-    from sbayes_tpu.testing import synthetic_config, synthetic_data
-
-    data = synthetic_data(n_objects=100, n_features=36, n_states=6, n_families=6, seed=0)
-    config = synthetic_config(n_clusters=3, geo_prior="uniform")
-    model = Model(data, config.model)
-    rt = SamplerRuntime(model, config.mcmc, sample_from_prior=False)
 
     states = rt.init_chains(jax.random.PRNGKey(0), n_chains)
     stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(n_chains))
     ones = jnp.ones(n_chains, jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
 
-    # Compile + warm-up/equilibration (10 chunks = 2000 steps per chain)
-    carry = rt.run_chunk(keys, states, stats, ones, ones, chunk_steps)
-    for i in range(9):
+    # Compile + equilibration
+    carry = rt.run_chunk(keys, states, stats, ones, ones, CHUNK_STEPS)
+    for i in range(EQUILIBRATION_CHUNKS - 1):
         keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(carry.key, i)
-        carry = rt.run_chunk(keys, carry.state, carry.stats, ones, ones, chunk_steps)
+        carry = rt.run_chunk(keys, carry.state, carry.stats, ones, ones, CHUNK_STEPS)
     jax.block_until_ready(carry.state)
 
     # Timed trace chunks; median of per-chunk times (robust to transient
-    # stalls of the remote-device tunnel)
-    n_chunks = 10
+    # stalls of the remote-device tunnel — chip throughput, labeled as such)
     times, traces = [], []
-    for i in range(n_chunks):
+    for i in range(n_measure_chunks):
         keys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(carry.key, 100 + i)
         t0 = time.perf_counter()
-        carry, tr = rt._run_chunk_trace(keys, carry.state, carry.stats, ones, ones, chunk_steps)
+        carry, tr = rt._run_chunk_trace(keys, carry.state, carry.stats, ones, ones, CHUNK_STEPS)
         jax.block_until_ready(tr)
         times.append(time.perf_counter() - t0)
         traces.append(np.asarray(tr))
 
-    wall = float(np.median(times)) * n_chunks
+    wall = float(np.median(times)) * n_measure_chunks
     trace = np.concatenate(traces, axis=0).T  # (chains, steps)
     ess = multichain_ess(trace)
     return {
-        "steps_per_sec": n_chunks * chunk_steps * n_chains / wall,
-        "ess": ess,
-        "ess_per_sec": ess / wall,
+        "steps_per_sec": n_measure_chunks * CHUNK_STEPS * n_chains / wall,
+        "ess": float(ess),
+        "ess_per_sec": float(ess) / wall,
+        "window_steps_per_chain": n_measure_chunks * CHUNK_STEPS,
     }
 
 
-def main():
-    baseline_file = Path(__file__).parent / "benchmarks" / "reference_baseline.json"
-    baseline = BASELINE_STEPS_PER_SEC
-    if baseline_file.exists():
-        measured = json.loads(baseline_file.read_text())["steps_per_sec"]
-        baseline = measured * NUMBA_HEADROOM_MARGIN
-
-    # The remote-compile tunnel in this environment is occasionally flaky
-    # for large batch sizes; guard each attempt with an alarm and fall back
-    # to smaller (cached) ensemble sizes rather than hanging the driver.
+def _attempt_with_timeout(fn, timeout_s):
     import signal
 
-    def attempt(n_chains, timeout_s):
-        def _raise(signum, frame):
-            raise TimeoutError(f"bench attempt at {n_chains} chains timed out")
+    def _raise(signum, frame):
+        raise TimeoutError("bench attempt timed out")
 
-        old = signal.signal(signal.SIGALRM, _raise)
-        signal.alarm(timeout_s)
-        try:
-            return _measure(n_chains, CHUNK_STEPS)
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(timeout_s)
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
-    measured, used_chains = None, None
-    for n_chains, timeout_s in [(N_CHAINS, 480), (256, 360)]:
-        try:
-            measured, used_chains = attempt(n_chains, timeout_s), n_chains
-            break
-        except Exception as e:  # noqa: BLE001 - fall back to the next size
-            import sys
 
-            print(f"bench attempt with {n_chains} chains failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-
-    if measured is None:
-        raise SystemExit("all bench attempts failed")
-
-    # Baseline ESS/sec measured on the reference sampler with the same
-    # estimator (benchmarks/reference_baseline.json); margin as for steps/s.
-    ref_ess_per_sec = 0.0683
+def main():
+    baseline_file = Path(__file__).parent / "benchmarks" / "reference_baseline_real.json"
+    ref = dict(FALLBACK_REF)
     if baseline_file.exists():
-        d = json.loads(baseline_file.read_text())
-        ref_ess_per_sec = d.get("ess_per_sec", ref_ess_per_sec)
-    baseline_ess = ref_ess_per_sec * NUMBA_HEADROOM_MARGIN
+        ref.update(json.loads(baseline_file.read_text()))
+    baseline_steps = ref["steps_per_sec"] * NUMBA_HEADROOM_MARGIN
+    baseline_ess = ref["ess_per_sec"] * NUMBA_HEADROOM_MARGIN
 
-    import sys
+    # The remote-compile tunnel is occasionally flaky for large programs;
+    # fall back to smaller (cached) ensembles rather than hanging the driver.
+    results = {}
+    for geo_on in (False, True):
+        label = "geo_on" if geo_on else "geo_off"
+        rt = _build_runtime(geo_on)
+        for n_chains, n_chunks, timeout_s in [
+            (N_CHAINS, MEASURE_CHUNKS, 1500),
+            (256, 25, 600),
+        ]:
+            try:
+                m = _attempt_with_timeout(lambda: _measure(rt, n_chains, n_chunks), timeout_s)
+                m["n_chains"] = n_chains
+                results[label] = m
+                break
+            except Exception as e:  # noqa: BLE001 — try next ladder rung
+                print(f"bench {label} attempt ({n_chains} chains) failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+        if label not in results and not geo_on:
+            raise SystemExit("all bench attempts failed for the headline (geo_off) metric")
 
-    print(f"steps/sec/chip: {measured['steps_per_sec']:.0f} "
-          f"({measured['steps_per_sec'] / baseline:.0f}x baseline); "
-          f"ensemble multichain ESS {measured['ess']:.0f}", file=sys.stderr)
-    print(json.dumps({
-        "metric": f"log_posterior_ess_per_sec_per_chip_south_america_shape_{used_chains}chains",
-        "value": round(measured["ess_per_sec"], 2),
+    head = results["geo_off"]
+    print(
+        f"geo_off: {head['steps_per_sec']:.0f} steps/s/chip "
+        f"({head['steps_per_sec'] / baseline_steps:.0f}x ref steps/s), "
+        f"ESS {head['ess']:.0f} over {head['window_steps_per_chain']} steps/chain",
+        file=sys.stderr,
+    )
+    out = {
+        "metric": f"log_posterior_ess_per_sec_per_chip_south_america_real_{head['n_chains']}chains",
+        "value": round(head["ess_per_sec"], 2),
         "unit": "ESS/sec/chip",
-        "vs_baseline": round(measured["ess_per_sec"] / baseline_ess, 1),
-    }))
+        "vs_baseline": round(head["ess_per_sec"] / baseline_ess, 1),
+        "steps_per_sec": round(head["steps_per_sec"]),
+        "steps_per_sec_vs_baseline": round(head["steps_per_sec"] / baseline_steps, 1),
+    }
+    if "geo_on" in results:
+        g = results["geo_on"]
+        out["geo_on_ess_per_sec"] = round(g["ess_per_sec"], 2)
+        out["geo_on_steps_per_sec"] = round(g["steps_per_sec"])
+        print(
+            f"geo_on (cost_based MST in the timed path): {g['steps_per_sec']:.0f} steps/s, "
+            f"ESS/sec {g['ess_per_sec']:.1f}",
+            file=sys.stderr,
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -217,7 +217,30 @@ def make_dataset(tmpdir: Path, n_objects=100, n_features=36, n_states=6, n_famil
     return cfg_path
 
 
-def main(n_steps=20000):
+def make_real_config(tmpdir: Path) -> Path:
+    """Copy the real south_america config with absolute data/prior paths."""
+    import yaml
+
+    src_dir = Path(REFERENCE_PATH) / "experiments" / "south_america"
+    cfg = yaml.safe_load(open(src_dir / "config.yaml"))
+
+    def absolutize(node):
+        if isinstance(node, dict):
+            return {k: (str(src_dir / v) if k in ("features", "feature_states", "file")
+                        and isinstance(v, str) else absolutize(v))
+                    for k, v in node.items()}
+        return node
+
+    cfg = absolutize(cfg)
+    cfg["results"] = {"path": str(tmpdir / "results"), "log_likelihood": False,
+                      "log_file": False}
+    cfg["mcmc"]["runs"] = 1
+    cfg_path = tmpdir / "config.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    return cfg_path
+
+
+def main(n_steps=20000, real=False):
     install_shims()
 
     import scipy.special
@@ -231,7 +254,7 @@ def main(n_steps=20000):
     import tempfile
 
     tmpdir = Path(tempfile.mkdtemp())
-    cfg_path = make_dataset(tmpdir)
+    cfg_path = make_real_config(tmpdir) if real else make_dataset(tmpdir)
 
     from sbayes.experiment_setup import Experiment
     from sbayes.load_data import Data
@@ -281,7 +304,11 @@ def main(n_steps=20000):
 
     ess = effective_sample_size(np.asarray(lh_trace, dtype=float))
     result = {
-        "workload": "synthetic south_america-shaped (100 objects x 36 features x <=6 states, K=3, 6 families)",
+        "workload": (
+            "real south_america experiment (100 languages x 36 features, K=3, "
+            "6 families, Dirichlet file priors)" if real else
+            "synthetic south_america-shaped (100 objects x 36 features x <=6 states, K=3, 6 families)"
+        ),
         "n_steps": n_steps,
         "seconds": dt,
         "steps_per_sec": steps_per_sec,
@@ -290,9 +317,10 @@ def main(n_steps=20000):
         "machine": "driver CPU, single core (reference has no intra-chain parallelism)",
         "notes": "numba shimmed with scipy gammaln; geodesics shimmed (preprocessing only)",
     }
-    OUT_PATH.write_text(json.dumps(result, indent=2))
+    out = OUT_PATH.parent / "reference_baseline_real.json" if real else OUT_PATH
+    out.write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    main(real="--real" in sys.argv)
