@@ -320,6 +320,79 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
     )
 
 
+# ----------------------------------------------------------------------
+# PyTree registration: ModelConstants can be passed as a jit ARGUMENT so
+# its device arrays lower to executable parameters. Closed-over arrays are
+# inlined as dense HLO literals (a 10k x 5k features tensor becomes a
+# 400 MB literal, blowing compile memory and the remote-compile payload
+# limit), so the SamplerRuntime threads consts as the first argument of
+# every compiled program instead of closing over it.
+# ----------------------------------------------------------------------
+
+_MC_ARRAY_FIELDS = (
+    "features", "na", "applicable", "n_states_per_feature", "groups",
+    "group_valid", "hc_conf", "conc_cluster", "unif_conc", "conc_conf",
+    "conc_weights", "cost_matrix", "adjacency", "locations",
+)
+_MC_STATIC_FIELDS = (
+    "shapes", "conf_names", "group_names", "n_groups", "weights_prior_uniform",
+    "geo", "size_prior_type", "min_size", "max_size", "feature_chunk", "dtype",
+)
+
+
+def _static_signature(v):
+    """Hashable content signature for jit-cache keys of static fields."""
+    import dataclasses as _dc
+
+    if isinstance(v, np.ndarray):
+        return ("nd", v.shape, str(v.dtype), v.tobytes())
+    if isinstance(v, dict):
+        return ("d",) + tuple((k, _static_signature(x)) for k, x in v.items())
+    if isinstance(v, (list, tuple)):
+        return ("t",) + tuple(_static_signature(x) for x in v)
+    if _dc.is_dataclass(v) and not isinstance(v, type):
+        return ("dc", type(v).__name__) + tuple(
+            (f.name, _static_signature(getattr(v, f.name))) for f in _dc.fields(v)
+        )
+    if isinstance(v, type):
+        return ("ty", v.__module__, v.__name__)
+    return v
+
+
+class _StaticConsts:
+    """Aux-data wrapper: keeps the raw static field values for unflatten,
+    hashes/compares by content (jit cache key)."""
+
+    __slots__ = ("values", "_sig")
+
+    def __init__(self, values: tuple):
+        self.values = values
+        self._sig = _static_signature(values)
+
+    def __hash__(self):
+        return hash(self._sig)
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticConsts) and self._sig == other._sig
+
+
+def _mc_flatten(c: "ModelConstants"):
+    children = tuple(getattr(c, f) for f in _MC_ARRAY_FIELDS)
+    aux = _StaticConsts(tuple(getattr(c, f) for f in _MC_STATIC_FIELDS))
+    return children, aux
+
+
+def _mc_unflatten(aux: _StaticConsts, children):
+    kw = dict(zip(_MC_ARRAY_FIELDS, children))
+    kw.update(zip(_MC_STATIC_FIELDS, aux.values))
+    return ModelConstants(**kw)
+
+
+import jax.tree_util  # noqa: E402
+
+jax.tree_util.register_pytree_node(ModelConstants, _mc_flatten, _mc_unflatten)
+
+
 def auto_feature_chunk(n_objects: int, n_features: int,
                        cell_threshold: int = 4_000_000,
                        target: int = 512) -> Optional[int]:

@@ -46,6 +46,15 @@ from sbayes_tpu.sampling.operators import get_operator_schedule
 from sbayes_tpu.sampling.state import ChainState
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _fill_state_jit(consts, sample_from_prior, state):
+    """fill_state with consts as a traced argument (no HLO literals)."""
+    return Posterior(consts, sample_from_prior).fill_state(state)
+
+
 class SamplerRuntime:
     """Compiled, vmapped sampling programs for one model."""
 
@@ -84,16 +93,17 @@ class SamplerRuntime:
         ~4x slower). The draw is state-independent, so each chain remains
         a valid sampler of its posterior; see kernel.make_mh_apply_fn.
         """
-        consts = self.consts
         sfp = self.sample_from_prior
         op_cfg = self.op_cfg
         p_grow = self.p_grow
         op_logits = np.log(np.asarray([o.weight for o in self._op_specs_cold], np.float32))
 
-        def run(keys, states, stats, T, Tp, n_steps):
+        def run(consts, keys, states, stats, T, Tp, n_steps):
             # keys: (n_chains,) per-chain PRNG keys. The shared per-step
             # operator draws derive from a master key folded out of the
             # chain keys (stable under sharding; depends only on keys[0]).
+            # ``consts`` is a traced argument: its arrays lower to
+            # executable parameters, not embedded HLO literals.
             master_key = jax.random.fold_in(keys[0], 0x5ba135)
 
             def apply_one(op_idx, key, state, T_c, Tp_c):
@@ -124,19 +134,23 @@ class SamplerRuntime:
             (keys, states, stats), _ = jax.lax.scan(body, (keys, states, stats), step_keys)
             return Carry(keys, states, stats)
 
-        return jax.jit(run, static_argnums=(5,), donate_argnums=(1, 2))
+        jitted = jax.jit(run, static_argnums=(6,), donate_argnums=(2, 3))
+
+        def call(keys, states, stats, T, Tp, n_steps):
+            return jitted(self.consts, keys, states, stats, T, Tp, n_steps)
+
+        return call
 
     def _build_run_chunk_trace(self):
         """Like the ensemble chunk runner, but additionally returns the
         per-step log-posterior trace (n_steps, n_chains) — used for ESS
         measurement (ESS/sec is the headline benchmark metric)."""
-        consts = self.consts
         sfp = self.sample_from_prior
         op_cfg = self.op_cfg
         p_grow = self.p_grow
         op_logits = np.log(np.asarray([o.weight for o in self._op_specs_cold], np.float32))
 
-        def run(keys, states, stats, T, Tp, n_steps):
+        def run(consts, keys, states, stats, T, Tp, n_steps):
             master_key = jax.random.fold_in(keys[0], 0x5ba135)
 
             def apply_one(op_idx, key, state, T_c, Tp_c):
@@ -167,7 +181,12 @@ class SamplerRuntime:
             (keys, states, stats), trace = jax.lax.scan(body, (keys, states, stats), step_keys)
             return Carry(keys, states, stats), trace
 
-        return jax.jit(run, static_argnums=(5,), donate_argnums=(1, 2))
+        jitted = jax.jit(run, static_argnums=(6,), donate_argnums=(2, 3))
+
+        def call(keys, states, stats, T, Tp, n_steps):
+            return jitted(self.consts, keys, states, stats, T, Tp, n_steps)
+
+        return call
 
     def _build_run_mc3_chunk(self):
         """Fully fused MC3: subchains AND swap proposals inside one device
@@ -185,13 +204,12 @@ class SamplerRuntime:
         sequentially per swap phase, accepted with probability
         exp(-(Δlog_prior·Δ(1/Tp) + Δlog_lh·Δ(1/T))).
         """
-        consts = self.consts
         sfp = self.sample_from_prior
         op_cfg = self.op_cfg
         p_grow = self.p_grow
         op_logits = np.log(np.asarray([o.weight for o in self._op_specs_cold], np.float32))
 
-        def run(keys, states, stats, T, Tp, swap_key, swap_matrix,
+        def run(consts, keys, states, stats, T, Tp, swap_key, swap_matrix,
                 step0, n_steps, swap_interval, attempts, only_adjacent):
             n_chains = T.shape[0]
             if only_adjacent:
@@ -275,35 +293,42 @@ class SamplerRuntime:
             )
             return keys, states, stats, swap_matrix, n_acc, n_att
 
-        return jax.jit(run, static_argnums=(8, 9, 10, 11), donate_argnums=(1, 2, 6))
+        jitted = jax.jit(run, static_argnums=(9, 10, 11, 12), donate_argnums=(2, 3, 7))
+
+        def call(*args):
+            return jitted(self.consts, *args)
+
+        return call
 
     def _build_init_chains(self):
         """Initializer + posterior bookkeeping, vmapped over chains."""
-        consts = self.consts
         sfp = self.sample_from_prior
         init_cfg = self.mcmc_config.initialization
 
-        def init_one(key):
-            cond = Conditionals(Posterior(consts, sfp), 1.0, 1.0)
-            initializer = Initializer(
-                cond,
-                initial_size=init_cfg.objects_per_cluster,
-                attempts=init_cfg.attempts,
-                initial_cluster_steps=init_cfg.initial_cluster_steps,
-                n_em_steps=init_cfg.em_steps,
-            )
-            state = initializer.generate_sample(key)
-            return cond.post.fill_state(state)
+        def init_all(consts, keys):
+            def init_one(key):
+                cond = Conditionals(Posterior(consts, sfp), 1.0, 1.0)
+                initializer = Initializer(
+                    cond,
+                    initial_size=init_cfg.objects_per_cluster,
+                    attempts=init_cfg.attempts,
+                    initial_cluster_steps=init_cfg.initial_cluster_steps,
+                    n_em_steps=init_cfg.em_steps,
+                )
+                state = initializer.generate_sample(key)
+                return cond.post.fill_state(state)
 
-        return jax.jit(jax.vmap(init_one))
+            return jax.vmap(init_one)(keys)
+
+        jitted = jax.jit(init_all)
+        return lambda keys: jitted(self.consts, keys)
 
     def _build_sample_view(self):
         """Per-sample device computation for the loggers: prior parts,
         sufficient-statistic counts and exact per-observation likelihood."""
-        consts = self.consts
         sfp = self.sample_from_prior
 
-        def view(state):
+        def view(consts, state):
             cond = Conditionals(Posterior(consts, sfp), 1.0, 1.0)
             parts = cond.post.parts(state)
             cl_counts, conf_counts = cond.post.feature_counts(state.clusters, state.source)
@@ -312,7 +337,8 @@ class SamplerRuntime:
             obs_lh = (w * lh_exact).sum(-1)
             return parts, cl_counts, conf_counts, obs_lh
 
-        return jax.jit(view)
+        jitted = jax.jit(view)
+        return lambda state: jitted(self.consts, state)
 
     def _build_cluster_contribution(self):
         """(K,) marginal log-lh + log-prior of each cluster in isolation.
@@ -325,10 +351,9 @@ class SamplerRuntime:
         per-cluster prior is the single-cluster size prior + that cluster's
         geo prior + the weights prior (the reference's source prior is
         undefined at source=None and is excluded)."""
-        consts = self.consts
         sfp = self.sample_from_prior
 
-        def contrib(state):
+        def contrib(consts, state):
             from jax.scipy.special import gammaln
 
             cond = Conditionals(Posterior(consts, sfp), 1.0, 1.0)
@@ -360,7 +385,8 @@ class SamplerRuntime:
 
             return jax.vmap(one)(jnp.arange(K))
 
-        return jax.jit(contrib)
+        jitted = jax.jit(contrib)
+        return lambda state: jitted(self.consts, state)
 
     # -------------------- host helpers --------------------
 
@@ -384,7 +410,6 @@ class SamplerRuntime:
         equivalent."""
         import time as _time
 
-        consts = self.consts
         sfp = self.sample_from_prior
         op_cfg = self.op_cfg
         p_grow = self.p_grow
@@ -395,7 +420,7 @@ class SamplerRuntime:
         for i_op in range(self.n_ops):
             if i_op not in self._branch_chunks:
                 def make(i_op=i_op):
-                    def run(keys, states, T, Tp, n_steps):
+                    def run(consts, keys, states, T, Tp, n_steps):
                         def apply_one(key, state, T_c, Tp_c):
                             cond = Conditionals(Posterior(consts, sfp), T_c, Tp_c)
                             ops = [get_operator_schedule(cond, op_cfg, p_grow)[i_op]]
@@ -413,7 +438,8 @@ class SamplerRuntime:
                         (keys, states), _ = jax.lax.scan(body, (keys, states), length=n_steps)
                         return states
 
-                    return jax.jit(run, static_argnums=(4,))
+                    jitted = jax.jit(run, static_argnums=(5,))
+                    return lambda *a: jitted(self.consts, *a)
 
                 self._branch_chunks[i_op] = make()
             run = self._branch_chunks[i_op]
@@ -558,8 +584,7 @@ class MCMCSetup:
         # Recompute the posterior bookkeeping: robust against checkpoints
         # missing prior_parts (stale parts would bias the specialized
         # source/weights MH updates after resume).
-        cond = Conditionals(Posterior(self.model.consts, self.config.mcmc.sample_from_prior))
-        state = jax.jit(cond.post.fill_state)(state)
+        state = _fill_state_jit(self.model.consts, self.config.mcmc.sample_from_prior, state)
         return state, int(d.get("i_step", 0))
 
     def _resume_from_results(self, run: int, chain: int = 0) -> tuple[ChainState, int]:
