@@ -16,6 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+import faulthandler
+import signal
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps the stack
+
 import jax
 import jax.numpy as jnp
 
@@ -32,13 +37,17 @@ def run(n_objects=10_000, n_features=5_000, n_chains=2, chunk_steps=20):
     t0 = time.perf_counter()
     data = synthetic_data_large(n_objects=n_objects, n_features=n_features,
                                 n_states=5, n_families=10, seed=0)
+    print(f"data gen: {time.perf_counter() - t0:.1f}s", flush=True)
     config = synthetic_config(n_clusters=5, geo_prior="uniform")
     # wider size bounds for 10k objects
     config.model.prior.objects_per_cluster.min = 10
     config.model.prior.objects_per_cluster.max = 3000
+    t0 = time.perf_counter()
     model = Model(data, config.model)
-    print(f"setup: {time.perf_counter() - t0:.1f}s  "
-          f"feature_chunk={model.consts.feature_chunk}", flush=True)
+    jax.block_until_ready(model.consts.features)
+    print(f"model build + device upload: {time.perf_counter() - t0:.1f}s  "
+          f"feature_chunk={model.consts.feature_chunk}  "
+          f"feature_dtype={model.consts.features.dtype}", flush=True)
 
     cfg = config.mcmc.model_copy(update={
         "initialization": config.mcmc.initialization.model_copy(update={

@@ -259,7 +259,15 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
 
     # --- geo prior (reference: prior.py:705-872) ---
     geo_cfg = config.prior.geo
-    cost_matrix = np.asarray(data.geo_cost_matrix, dtype=FLOAT_TYPE)
+    if geo_cfg.type is GeoPriorConfig.Types.UNIFORM and N > 2000:
+        # The cost matrix is only read by cost_based/simulated geo paths;
+        # under the uniform geo prior skip the O(N^2) device residency
+        # (400 MB + a slow tunnel upload at the 10k scale-up). Small models
+        # keep the real matrix so post-hoc ``dataclasses.replace`` of the
+        # geo config (tests, exploratory API use) still works.
+        cost_matrix = np.zeros((1, 1), dtype=FLOAT_TYPE)
+    else:
+        cost_matrix = np.asarray(data.geo_cost_matrix, dtype=FLOAT_TYPE)
     mean_edge_length = 1.0
     if geo_cfg.type is GeoPriorConfig.Types.SIMULATED:
         from scipy.sparse.csgraph import minimum_spanning_tree
@@ -291,10 +299,11 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
     import jax.numpy as jnp
 
     feature_chunk = auto_feature_chunk(N, F)
+    feat_dtype = auto_feature_dtype(N, F)
 
     return ModelConstants(
         shapes=shapes,
-        features=jnp.asarray(features.values.astype(FLOAT_TYPE)),
+        features=jnp.asarray(features.values.astype(FLOAT_TYPE), dtype=feat_dtype),
         na=jnp.asarray(features.na_values.astype(bool)),
         applicable=jnp.asarray(applicable),
         n_states_per_feature=jnp.asarray(applicable.sum(-1).astype(FLOAT_TYPE)),
@@ -391,6 +400,29 @@ def _mc_unflatten(aux: _StaticConsts, children):
 import jax.tree_util  # noqa: E402
 
 jax.tree_util.register_pytree_node(ModelConstants, _mc_flatten, _mc_unflatten)
+
+
+def auto_feature_dtype(n_objects: int, n_features: int,
+                       cell_threshold: int = 4_000_000):
+    """Storage dtype of the one-hot feature tensor.
+
+    The posterior recompute is HBM-bound streaming this tensor; bf16 halves
+    the traffic and is EXACT for one-hot 0/1 values (all count/likelihood
+    einsums force ``preferred_element_type=f32`` accumulation, and the TPU
+    MXU multiplies in bf16 even for f32 inputs at default precision). Small
+    models stay f32 (they are compute-trivial anyway and f32 keeps CPU test
+    oracles bit-tight). Env override ``SBAYES_TPU_FEATURE_DTYPE``:
+    ``float32`` | ``bfloat16``.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    env = os.environ.get("SBAYES_TPU_FEATURE_DTYPE")
+    if env is not None:
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                "bf16": jnp.bfloat16, "f32": jnp.float32}[env.lower()]
+    return jnp.bfloat16 if n_objects * n_features > cell_threshold else jnp.float32
 
 
 def auto_feature_chunk(n_objects: int, n_features: int,

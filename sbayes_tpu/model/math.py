@@ -91,11 +91,17 @@ def compute_feature_counts(clusters, source, features, conf_groups, f_chunk=None
     F = features.shape[1]
 
     def counts_of(feats_t, source_t):
+        # One-hot products are exact in any float dtype (0/1 values); the
+        # f32 preferred_element_type keeps the count ACCUMULATION exact
+        # when features are stored bf16 (bf16 accumulators overflow
+        # integer exactness beyond 256).
         src0 = source_t[:, :, 0].astype(dtype)
         fx0 = feats_t * src0[:, :, None]
-        cl = jnp.einsum("kn,nfs->kfs", clusters.astype(dtype), fx0)
+        cl = jnp.einsum("kn,nfs->kfs", clusters.astype(dtype), fx0,
+                        preferred_element_type=jnp.float32)
         srcc = source_t[:, :, 1:].astype(dtype)
-        conf = jnp.einsum("cgn,nfc,nfs->cgfs", conf_groups, srcc, feats_t)
+        conf = jnp.einsum("cgn,nfc,nfs->cgfs", conf_groups.astype(dtype), srcc, feats_t,
+                          preferred_element_type=jnp.float32)
         return cl, conf
 
     if f_chunk is None or f_chunk >= F:

@@ -101,7 +101,7 @@ class Posterior:
     def size_prior(self, clusters):
         """Cluster-size prior (reference: prior.py:629-698)."""
         c = self.consts
-        dtype = jnp.asarray(c.features).dtype
+        dtype = jnp.float32  # lgamma wants full f32 even with bf16 features
         sizes = clusters.sum(axis=-1).astype(dtype)
         if c.size_prior_type == "uniform_area":
             return jnp.zeros((), dtype)
@@ -257,10 +257,10 @@ class Posterior:
 
     def parts(self, state, counts=None) -> PosteriorParts:
         """Full posterior decomposition; ``counts`` may pass in the state's
-        precomputed sufficient-statistic counts (operators thread their
-        exact candidate counts through OpResult.counts)."""
+        precomputed sufficient-statistic counts (operators maintain exact
+        candidate counts in ChainState.cl_counts/conf_counts)."""
         if self.sample_from_prior:
-            log_lh = jnp.zeros((), jnp.asarray(self.consts.features).dtype)
+            log_lh = jnp.zeros((), jnp.float32)
         elif counts is not None:
             log_lh = self.log_likelihood_from_counts(*counts)
         else:
@@ -279,10 +279,14 @@ class Posterior:
         return p.log_lh, p.log_prior
 
     def fill_state(self, state):
-        """Return the state with log_lh / log_prior / prior_parts filled."""
-        p = self.parts(state)
+        """Return the state with log_lh / log_prior / prior_parts AND the
+        carried sufficient-statistic counts filled (the counts invariant
+        every operator maintains incrementally from here on)."""
+        counts = self.feature_counts(state.clusters, state.source)
+        p = self.parts(state, counts=counts)
         return state._replace(
-            log_lh=p.log_lh, log_prior=p.log_prior, prior_parts=p.prior_vector()
+            log_lh=p.log_lh, log_prior=p.log_prior, prior_parts=p.prior_vector(),
+            cl_counts=counts[0], conf_counts=counts[1],
         )
 
 

@@ -64,11 +64,16 @@ class Conditionals:
                                        feats_t, na_t, conc_cluster_t, conc_conf_t):
         """(N, f, C) per-component likelihoods on one feature slice."""
         c = self.consts
+        dtype = feats_t.dtype
         cl_eff = normalize(cl_counts_t + conc_cluster_t[None], axis=-1)
-        lh0 = jnp.einsum("kn,kfs,nfs->nf", clusters.astype(feats_t.dtype), cl_eff, feats_t)
+        lh0 = jnp.einsum("kn,kfs,nfs->nf", clusters.astype(dtype),
+                         cl_eff.astype(dtype), feats_t,
+                         preferred_element_type=jnp.float32)
 
         conf_eff = normalize(conf_counts_t + conc_conf_t, axis=-1)
-        lhc = jnp.einsum("cgn,cgfs,nfs->nfc", jnp.asarray(c.groups), conf_eff, feats_t)
+        lhc = jnp.einsum("cgn,cgfs,nfs->nfc", jnp.asarray(c.groups).astype(dtype),
+                         conf_eff.astype(dtype), feats_t,
+                         preferred_element_type=jnp.float32)
 
         lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
         return jnp.where(na_t[:, :, None], 1.0, lh)
@@ -139,7 +144,8 @@ class Conditionals:
         cluster = clusters[i_cluster]
         keep = cluster.astype(dtype) * (1.0 - sub)
         src0 = fs.source[:, :, 0].astype(dtype)
-        cl_counts_keep = jnp.einsum("n,nf,nfs->fs", keep, src0, feats)
+        cl_counts_keep = jnp.einsum("n,nf,nfs->fs", keep, src0, feats,
+                                    preferred_element_type=jnp.float32)
         cluster_effect = conditional_effect_mean(
             prior_counts=fs.conc_cluster,
             feature_counts=cl_counts_keep,
@@ -147,12 +153,14 @@ class Conditionals:
             prior_temperature=self.Tp,
             temperature=self.T,
         )
-        lh0 = jnp.einsum("fs,nfs->nf", cluster_effect, feats)
+        lh0 = jnp.einsum("fs,nfs->nf", cluster_effect.astype(dtype), feats,
+                         preferred_element_type=jnp.float32)
 
         # Confounder components: full counts minus subset contribution.
         srcc = fs.source[:, :, 1:].astype(dtype)
-        groups = jnp.asarray(c.groups)
-        changeable = jnp.einsum("cgn,n,nfc,nfs->cgfs", groups, sub, srcc, feats)
+        groups = jnp.asarray(c.groups).astype(dtype)
+        changeable = jnp.einsum("cgn,n,nfc,nfs->cgfs", groups, sub, srcc, feats,
+                                preferred_element_type=jnp.float32)
         unchangeable = fs.conf_counts - changeable
         conf_effect = conditional_effect_mean(
             prior_counts=fs.conc_conf,
@@ -161,7 +169,8 @@ class Conditionals:
             prior_temperature=self.Tp,
             temperature=self.T,
         )
-        lhc = jnp.einsum("cgn,cgfs,nfs->nfc", groups, conf_effect, feats)
+        lhc = jnp.einsum("cgn,cgfs,nfs->nfc", groups, conf_effect.astype(dtype), feats,
+                         preferred_element_type=jnp.float32)
 
         lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
         lh = jnp.where(fs.na[:, :, None], 1.0, lh)
@@ -177,7 +186,8 @@ class Conditionals:
             feats = jnp.asarray(c.features)
             srcc = source[:, :, 1:].astype(feats.dtype)
             conf_counts_full = jnp.einsum(
-                "cgn,nfc,nfs->cgfs", jnp.asarray(c.groups), srcc, feats
+                "cgn,nfc,nfs->cgfs", jnp.asarray(c.groups).astype(feats.dtype),
+                srcc, feats, preferred_element_type=jnp.float32,
             )
         fs = self._feature_slice(source, jnp.zeros((c.F, c.C)), conf_counts_full, i=None)
         return self._clgu_slice(clusters, subset, i_cluster, fs)
@@ -187,39 +197,73 @@ class Conditionals:
 
         Each observation is scored under effects estimated WITHOUT its own
         contribution (reference: conditionals.py:300-367). Returns (N,F,C).
+        Feature-separable given the counts: with ``consts.feature_chunk``
+        set, the (N,f,S) per-object effect intermediates stay tile-sized.
         """
         c = self.consts
-        feats = jnp.asarray(c.features)
-        dtype = feats.dtype
+        feats_full = jnp.asarray(c.features)
+        dtype = feats_full.dtype
         cl_counts, conf_counts = self.post.feature_counts(clusters, source)
-
-        # Cluster component: for object o in cluster k, effect is
-        # normalize(counts[k] + conc - own contribution).
-        own0 = feats * source[:, :, 0][:, :, None].astype(dtype)  # (N,F,S)
-        base_cl = cl_counts + jnp.asarray(c.conc_cluster)[None]   # (K,F,S)
-        per_obj_cl = jnp.einsum("kn,kfs->nfs", clusters.astype(dtype), base_cl) - (
-            jnp.any(clusters, axis=0)[:, None, None] * own0
-        )
         member = jnp.any(clusters, axis=0)
-        eff0 = per_obj_cl / jnp.maximum(per_obj_cl.sum(-1, keepdims=True), EPS32)
-        lh0 = jnp.where(member[:, None], jnp.einsum("nfs,nfs->nf", eff0, feats), 0.0)
-
-        # Confounder components
         groups = jnp.asarray(c.groups)  # (Cm1, Gmax, N)
-        base_conf = conf_counts + jnp.asarray(c.conc_conf)  # (Cm1,Gmax,F,S)
-        lhs = [lh0[:, :, None]]
-        for i_c in range(groups.shape[0]):
-            own = feats * source[:, :, 1 + i_c][:, :, None].astype(dtype)
-            per_obj = jnp.einsum("gn,gfs->nfs", groups[i_c], base_conf[i_c]) - (
-                (groups[i_c].sum(0) > 0)[:, None, None] * own
-            )
-            in_group = groups[i_c].sum(0) > 0
-            eff = per_obj / jnp.maximum(per_obj.sum(-1, keepdims=True), EPS32)
-            lh_c = jnp.where(in_group[:, None], jnp.einsum("nfs,nfs->nf", eff, feats), 0.0)
-            lhs.append(lh_c[:, :, None])
 
-        lh = jnp.concatenate(lhs, axis=-1)
-        return jnp.where(jnp.asarray(c.na)[:, :, None], 1.0, lh)
+        def slice_body(feats, source_t, na_t, cl_counts_t, conf_counts_t,
+                       conc_cl_t, conc_conf_t):
+            # Cluster component: for object o in cluster k, effect is
+            # normalize(counts[k] + conc - own contribution).
+            own0 = feats * source_t[:, :, 0][:, :, None].astype(dtype)  # (N,f,S)
+            base_cl = cl_counts_t + conc_cl_t[None]                     # (K,f,S)
+            per_obj_cl = jnp.einsum("kn,kfs->nfs", clusters.astype(jnp.float32),
+                                    base_cl) - (
+                member[:, None, None] * own0
+            )
+            eff0 = per_obj_cl / jnp.maximum(per_obj_cl.sum(-1, keepdims=True), EPS32)
+            lh0 = jnp.where(member[:, None],
+                            jnp.einsum("nfs,nfs->nf", eff0.astype(dtype), feats,
+                                       preferred_element_type=jnp.float32), 0.0)
+
+            # Confounder components
+            base_conf = conf_counts_t + conc_conf_t  # (Cm1,Gmax,f,S)
+            lhs = [lh0[:, :, None]]
+            for i_c in range(groups.shape[0]):
+                own = feats * source_t[:, :, 1 + i_c][:, :, None].astype(dtype)
+                per_obj = jnp.einsum("gn,gfs->nfs", groups[i_c], base_conf[i_c]) - (
+                    (groups[i_c].sum(0) > 0)[:, None, None] * own
+                )
+                in_group = groups[i_c].sum(0) > 0
+                eff = per_obj / jnp.maximum(per_obj.sum(-1, keepdims=True), EPS32)
+                lh_c = jnp.where(in_group[:, None],
+                                 jnp.einsum("nfs,nfs->nf", eff.astype(dtype), feats,
+                                            preferred_element_type=jnp.float32), 0.0)
+                lhs.append(lh_c[:, :, None])
+
+            lh = jnp.concatenate(lhs, axis=-1)
+            return jnp.where(na_t[:, :, None], 1.0, lh)
+
+        fc = c.feature_chunk
+        if fc is None or fc >= c.F:
+            return slice_body(feats_full, source, jnp.asarray(c.na), cl_counts,
+                              conf_counts, jnp.asarray(c.conc_cluster),
+                              jnp.asarray(c.conc_conf))
+
+        from sbayes_tpu.model.math import feature_tile
+
+        na_full = jnp.asarray(c.na)
+        conc_cl, conc_cf = jnp.asarray(c.conc_cluster), jnp.asarray(c.conc_conf)
+
+        def tile_body(i):
+            return slice_body(
+                feature_tile(feats_full, i, fc, axis=1),
+                feature_tile(source, i, fc, axis=1),
+                feature_tile(na_full, i, fc, axis=1),
+                feature_tile(cl_counts, i, fc, axis=1),
+                feature_tile(conf_counts, i, fc, axis=2),
+                feature_tile(conc_cl, i, fc, axis=0),
+                feature_tile(conc_cf, i, fc, axis=2),
+            )
+
+        lh_t = jax.lax.map(tile_body, jnp.arange(c.F // fc))   # (T, N, f, C)
+        return jnp.moveaxis(lh_t, 0, 1).reshape(c.N, c.F, c.C)
 
     def expected_confounder_features(self, clusters, weights, conf_counts):
         """(N, F, S) expected feature values under the confounder mixture.
@@ -275,7 +319,8 @@ class Conditionals:
             feats = jnp.asarray(c.features)
             srcc = state_old.source[:, :, 1:].astype(feats.dtype)
             conf_counts_full = jnp.einsum(
-                "cgn,nfc,nfs->cgfs", jnp.asarray(c.groups), srcc, feats,
+                "cgn,nfc,nfs->cgfs", jnp.asarray(c.groups).astype(feats.dtype),
+                srcc, feats, preferred_element_type=jnp.float32,
             )
 
         def tile_out(fs: "Conditionals._FeatureSlice", k):
@@ -322,6 +367,138 @@ class Conditionals:
         source_new = jnp.moveaxis(src_t, 0, 1).reshape(c.N, c.F, c.C)
         return SourceResample(source_new, lq_t.sum(), lqb_t.sum())
 
+    # ------------------------------------------------------------------
+    # Gathered-rows variants: O(m·F) instead of O(N·F)
+    # ------------------------------------------------------------------
+
+    def _clgu_rows(self, state_old, obj_idx, valid, i_cluster, counts,
+                   feats_m, na_m, src_rows_old):
+        """Leave-subset-out component likelihoods for the gathered rows.
+
+        The O(m·F·S) counterpart of ``_clgu_slice``: instead of recomputing
+        keep-counts over all N objects, subtract the subset rows' own
+        contribution from the carried sufficient-statistic counts of the
+        pre-move state (exact — counts are integer-valued f32, and cluster
+        membership outside the subset is identical between the old and the
+        candidate clusters for every single-cluster-index move).
+        Returns (m, F, C) heated likelihoods.
+        """
+        c = self.consts
+        dtype = feats_m.dtype
+        cl_counts, conf_counts = counts
+        sub = valid.astype(dtype)
+
+        # Cluster component: old members of ``i_cluster`` outside the subset.
+        member = state_old.clusters[i_cluster][obj_idx].astype(dtype) * sub  # (m,)
+        src0 = src_rows_old[:, :, 0].astype(dtype)                           # (m, F)
+        excl0 = jnp.einsum("m,mf,mfs->fs", member, src0, feats_m,
+                           preferred_element_type=jnp.float32)
+        cluster_effect = conditional_effect_mean(
+            prior_counts=jnp.asarray(c.conc_cluster),
+            feature_counts=cl_counts[i_cluster] - excl0,
+            unif_counts=jnp.asarray(c.unif_conc),
+            prior_temperature=self.Tp,
+            temperature=self.T,
+        )
+        lh0 = jnp.einsum("fs,mfs->mf", cluster_effect.astype(dtype), feats_m,
+                         preferred_element_type=jnp.float32)
+
+        # Confounder components: full counts minus the subset contribution.
+        g_m = jnp.asarray(c.groups)[:, :, obj_idx].astype(dtype)             # (C-1, G, m)
+        srcc = src_rows_old[:, :, 1:].astype(dtype)                          # (m, F, C-1)
+        excl = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, srcc, feats_m,
+                          preferred_element_type=jnp.float32)
+        conf_effect = conditional_effect_mean(
+            prior_counts=jnp.asarray(c.conc_conf),
+            feature_counts=conf_counts - excl,
+            unif_counts=jnp.asarray(c.unif_conc)[None, None],
+            prior_temperature=self.Tp,
+            temperature=self.T,
+        )
+        lhc = jnp.einsum("cgm,cgfs,mfs->mfc", g_m, conf_effect.astype(dtype), feats_m,
+                         preferred_element_type=jnp.float32)
+
+        lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
+        lh = jnp.where(na_m[:, :, None], 1.0, lh)
+        return lh ** (1.0 / self.T)
+
+    @staticmethod
+    def _rows_logp(p, rows, valid, na_m):
+        """Sum of log p at the one-hot entries over (valid rows, ~NA)."""
+        ok = (~na_m) & valid[:, None]
+        chosen = (p * rows).sum(-1)
+        return jnp.where(ok, jnp.log(jnp.maximum(chosen, 1e-35)), 0.0).sum()
+
+    def _resample_engine_rows(self, key, state_old, clusters_new, obj_idx, valid,
+                              i_fwd, i_back, share_lh: bool, heat: bool,
+                              hc_back_from_old: bool, counts) -> SourceResample:
+        """Gathered-rows source-resample core: identical math to
+        ``_resample_engine`` on a subset given by DISTINCT indices
+        ``obj_idx`` with a validity mask, in O(m·F) work. ``counts`` are
+        the carried sufficient-statistic counts of ``state_old``.
+        """
+        c = self.consts
+        feats_m = jnp.asarray(c.features)[obj_idx]       # (m, F, S)
+        na_m = jnp.asarray(c.na)[obj_idx]                # (m, F)
+        src_rows_old = state_old.source[obj_idx]         # (m, F, C)
+
+        hc_conf_m = jnp.asarray(c.hc_conf)[obj_idx]      # (m, C-1)
+        hc0_new = jnp.any(clusters_new[:, obj_idx], axis=0)
+        hc_new_m = jnp.concatenate([hc0_new[:, None], hc_conf_m], axis=1)
+        if hc_back_from_old:
+            hc0_old = jnp.any(state_old.clusters[:, obj_idx], axis=0)
+            hc_back_m = jnp.concatenate([hc0_old[:, None], hc_conf_m], axis=1)
+        else:
+            hc_back_m = hc_new_m
+
+        w_f = normalize_weights(state_old.weights, hc_new_m)   # (m, F, C)
+        w_b = normalize_weights(state_old.weights, hc_back_m)
+        if heat:
+            w_f = w_f ** (1.0 / self.Tp)
+            w_b = w_b ** (1.0 / self.Tp)
+        if self.sample_from_prior:
+            p = w_f / jnp.maximum(w_f.sum(-1, keepdims=True), EPS32)
+            p_back = w_b / jnp.maximum(w_b.sum(-1, keepdims=True), EPS32)
+        else:
+            lh_f = self._clgu_rows(state_old, obj_idx, valid, i_fwd, counts,
+                                   feats_m, na_m, src_rows_old)
+            lh_b = lh_f if share_lh else self._clgu_rows(
+                state_old, obj_idx, valid, i_back, counts,
+                feats_m, na_m, src_rows_old)
+            p = normalize(w_f * lh_f, axis=-1)
+            p_back = normalize(w_b * lh_b, axis=-1)
+
+        x = sample_categorical_onehot(key, p) & ~na_m[:, :, None]
+        new_rows = jnp.where(valid[:, None, None], x, src_rows_old)
+        source_new = state_old.source.at[obj_idx].set(new_rows)
+
+        log_q = self._rows_logp(p, new_rows, valid, na_m)
+        log_q_back = self._rows_logp(p_back, src_rows_old, valid, na_m)
+        return SourceResample(source_new, log_q, log_q_back)
+
+    def gibbs_resample_source_rows(self, key, state_old, clusters_new, obj_idx,
+                                   valid, i_cluster, counts) -> SourceResample:
+        """Gathered-rows counterpart of ``gibbs_resample_source`` (same
+        leave-subset-out semantics, forward/backward shared likelihoods,
+        weights heated by 1/Tp, backward weights from the OLD clusters)."""
+        return self._resample_engine_rows(
+            key, state_old, clusters_new, obj_idx, valid,
+            i_fwd=i_cluster, i_back=i_cluster,
+            share_lh=True, heat=True, hc_back_from_old=True, counts=counts,
+        )
+
+    def gibbs_resample_source_jump_rows(self, key, state_old, clusters_new, obj_idx,
+                                        valid, i_cluster_new, i_cluster_old,
+                                        counts) -> SourceResample:
+        """Gathered-rows counterpart of ``gibbs_resample_source_jump``
+        (backward likelihoods from the OLD state with the source cluster,
+        unheated weights from the new sample for both directions)."""
+        return self._resample_engine_rows(
+            key, state_old, clusters_new, obj_idx, valid,
+            i_fwd=i_cluster_new, i_back=i_cluster_old,
+            share_lh=False, heat=False, hc_back_from_old=False, counts=counts,
+        )
+
     def gibbs_resample_source(self, key, state_old, clusters_new, subset, i_cluster,
                               conf_counts_full=None) -> SourceResample:
         """Resample ``source`` rows in ``subset`` from their collapsed
@@ -363,6 +540,55 @@ class Conditionals:
             share_lh=False, heat=False, hc_back_from_old=False,
             conf_counts_full=conf_counts_full,
         )
+
+    def source_posterior_rows(self, clusters, weights, counts, obj_idx,
+                              feats_m, na_m):
+        """(m, F, C) full-counts source posterior at the gathered rows —
+        the O(m·F) counterpart of ``source_posterior`` (reference
+        GibbsSampleSource.calculate_source_posterior, operators.py:554-574,
+        which also scores with the full current counts)."""
+        c = self.consts
+        cl_counts, conf_counts = counts
+        dtype = feats_m.dtype
+
+        cl_eff = normalize(cl_counts + jnp.asarray(c.conc_cluster)[None], axis=-1)
+        lh0 = jnp.einsum("km,kfs,mfs->mf", clusters[:, obj_idx].astype(dtype),
+                         cl_eff.astype(dtype), feats_m,
+                         preferred_element_type=jnp.float32)
+        g_m = jnp.asarray(c.groups)[:, :, obj_idx].astype(dtype)
+        conf_eff = normalize(conf_counts + jnp.asarray(c.conc_conf), axis=-1)
+        lhc = jnp.einsum("cgm,cgfs,mfs->mfc", g_m, conf_eff.astype(dtype), feats_m,
+                         preferred_element_type=jnp.float32)
+        lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
+        lh = jnp.where(na_m[:, :, None], 1.0, lh)
+
+        hc_conf_m = jnp.asarray(c.hc_conf)[obj_idx]
+        hc0 = jnp.any(clusters[:, obj_idx], axis=0)
+        hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
+        w = normalize_weights(weights, hc_m)
+        sp = lh ** (1.0 / self.T) * w ** (1.0 / self.Tp)
+        return normalize(sp, axis=-1)
+
+    def delta_counts_rows(self, counts, clusters, obj_idx, valid,
+                          src_old_rows, src_new_rows, feats_m):
+        """Exact sufficient-statistic update for a set of changed source
+        rows (clusters unchanged): counts + Σ_rows (new − old) contribution."""
+        c = self.consts
+        cl_counts, conf_counts = counts
+        dtype = feats_m.dtype
+        sub = valid.astype(dtype)
+
+        d0 = (src_new_rows[:, :, 0].astype(dtype)
+              - src_old_rows[:, :, 0].astype(dtype))           # (m, F)
+        delta_cl = jnp.einsum("km,mf,mfs->kfs",
+                              clusters[:, obj_idx].astype(dtype) * sub[None, :],
+                              d0, feats_m, preferred_element_type=jnp.float32)
+        dc = (src_new_rows[:, :, 1:].astype(dtype)
+              - src_old_rows[:, :, 1:].astype(dtype))          # (m, F, C-1)
+        g_m = jnp.asarray(c.groups)[:, :, obj_idx].astype(dtype)
+        delta_conf = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, dc, feats_m,
+                                preferred_element_type=jnp.float32)
+        return cl_counts + delta_cl, conf_counts + delta_conf
 
     def source_posterior(self, clusters, weights, source, counts=None):
         """(N, F, C) posterior over component attributions given everything

@@ -96,10 +96,13 @@ class Initializer:
             """(G, N) log-lh of each object under each group's EM effect on
             one F-slice (NA observations count as 'any state')."""
             feats_filled = jnp.where(valid_t[:, :, None], feats_t, 1.0)
-            state_counts = jnp.einsum("gn,nfs->gfs", z, feats_t)
+            state_counts = jnp.einsum("gn,nfs->gfs", z.astype(feats_t.dtype), feats_t,
+                                      preferred_element_type=jnp.float32)
             p = normalize(state_counts + prior_counts_t, axis=-1)
             pointwise_ll = jnp.log(
-                jnp.maximum(jnp.einsum("gfs,nfs->gnf", p, feats_filled), 1e-35)
+                jnp.maximum(jnp.einsum("gfs,nfs->gnf", p.astype(feats_filled.dtype),
+                                       feats_filled,
+                                       preferred_element_type=jnp.float32), 1e-35)
             )
             return pointwise_ll.sum(-1)
 

@@ -66,11 +66,13 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
 
     from sbayes_tpu.sampling.state import PRIOR_SOURCE, PRIOR_WEIGHTS
 
-    def evaluate_candidate(spec: OperatorSpec, old_state, cand, counts=None):
+    def evaluate_candidate(spec: OperatorSpec, old_state, cand):
         """Posterior bookkeeping of the candidate, specialized to the terms
-        the operator can actually change (static per branch). ``counts``
-        are the operator-threaded exact candidate counts (OpResult.counts),
-        saving the count-einsum recompute."""
+        the operator can actually change (static per branch). The candidate
+        counts are the operator-maintained exact state counts
+        (ChainState.cl_counts/conf_counts) — no count-einsum recompute."""
+        counts = (None if cand.cl_counts is None
+                  else (cand.cl_counts, cand.conf_counts))
         if spec.changes == "clusters":
             parts = post.parts(cand, counts=counts)
             ll = parts.log_lh
@@ -101,7 +103,7 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
         def branch(key, state):
             k_prop, k_u = jax.random.split(key)
             res = spec.fn(k_prop, state)
-            cand = evaluate_candidate(spec, state, res.state, counts=res.counts)
+            cand = evaluate_candidate(spec, state, res.state)
 
             gibbs = jnp.isneginf(res.log_q)
             direct_reject = jnp.isneginf(res.log_q_back)

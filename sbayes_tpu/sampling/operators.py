@@ -45,17 +45,12 @@ class OpResult(NamedTuple):
     log_q: jnp.ndarray
     log_q_back: jnp.ndarray
     step_size: jnp.ndarray  # operator-specific step size (for stats)
-    # Optional (cl_counts, conf_counts) of res.state: when set, the MH
-    # kernel reuses them for the candidate log-likelihood instead of
-    # recomputing the count einsums (the single hottest redundancy of the
-    # cluster branch — exact, counts are integer-valued f32).
-    counts: tuple = None
 
 
-def _reject(state, counts=None) -> "OpResult":
+def _reject(state) -> "OpResult":
     z = jnp.float32
     return OpResult(state, jnp.asarray(Q_REJECT, z), jnp.asarray(-jnp.inf, z),
-                    jnp.asarray(0.0, z), counts)
+                    jnp.asarray(0.0, z))
 
 
 def _select_result(pred, a: OpResult, b: OpResult) -> OpResult:
@@ -111,7 +106,8 @@ class OperatorFactory:
         c = self.consts
         feats = jnp.asarray(c.features)
         free = (~jnp.any(state.clusters, axis=0)).astype(feats.dtype)
-        counts = jnp.einsum("n,nfs->fs", free, feats)
+        counts = jnp.einsum("n,nfs->fs", free, feats,
+                            preferred_element_type=jnp.float32)
         return normalize(self._posterior_counts(jnp.asarray(c.conc_cluster), counts), axis=-1)
 
     def cluster_effect_proposal_residual_counts(self, state, cl_counts, conf_counts, i_cluster):
@@ -186,7 +182,8 @@ class OperatorFactory:
 
         def slice_body(p_eff, feats_t, na_t, weights_t, cl_counts_t, conf_counts_t,
                        conc_cluster_t, conc_conf_t):
-            cluster_lh = jnp.einsum("fs,nfs->nf", p_eff, feats_t)
+            cluster_lh = jnp.einsum("fs,nfs->nf", p_eff.astype(feats_t.dtype), feats_t,
+                                    preferred_element_type=jnp.float32)
             if heat_effect_lh:
                 # The wide operator's raw-probs variant heats the component-0
                 # likelihood once more before the weight mixture (reference
@@ -271,6 +268,20 @@ class OperatorFactory:
     def _occupied(self, clusters):
         return jnp.any(clusters, axis=0)
 
+    def _state_counts(self, state):
+        """The carried sufficient-statistic counts of ``state`` (recomputed
+        only on counts-less states, e.g. inside the initializer)."""
+        if state.cl_counts is None:
+            return self.cond.post.feature_counts(state.clusters, state.source)
+        return (state.cl_counts, state.conf_counts)
+
+    @staticmethod
+    def _put_counts(state, counts):
+        """Write the (cl_counts, conf_counts) invariant into a state (no-op
+        payload for counts-less initializer states is fine: the structure
+        only ever moves from None -> arrays at the op entry)."""
+        return state._replace(cl_counts=counts[0], conf_counts=counts[1])
+
     def _delta_counts(self, counts, obj, clusters_old, clusters_new,
                       src_old_row, src_new_row):
         """Exact O(F·S) sufficient-statistic update for ONE object's
@@ -348,12 +359,13 @@ class OperatorFactory:
             p_add = p_vec / jnp.maximum(total, TINY)
 
             clusters_new = state.clusters.at[i_cluster, obj].set(True)
-            subset = jnp.zeros(N, bool).at[obj].set(True)
-            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_cluster,
-                                            conf_counts_full=counts[1])
-            state_new = state._replace(clusters=clusters_new, source=rs.source)
+            rs = cond.gibbs_resample_source_rows(
+                k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
+                i_cluster, counts)
             counts_new = self._delta_counts(counts, obj, state.clusters, clusters_new,
                                             state.source[obj], rs.source[obj])
+            state_new = self._put_counts(
+                state._replace(clusters=clusters_new, source=rs.source), counts_new)
 
             # Backward: removal probability in the new state
             shrink_cand = clusters_new[i_cluster]
@@ -365,8 +377,8 @@ class OperatorFactory:
             log_q_back = (
                 jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q_back + jnp.log(1 - p_grow)
             )
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0), counts_new)
-            return _select_result(rejected, _reject(state, counts), res)
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
+            return _select_result(rejected, _reject(state), res)
 
         def shrink(key, state, i_cluster, counts):
             k_obj, k_src = jax.random.split(key)
@@ -380,12 +392,13 @@ class OperatorFactory:
 
             obj = _masked_categorical(k_obj, x, cluster)
             clusters_new = state.clusters.at[i_cluster, obj].set(False)
-            subset = jnp.zeros(N, bool).at[obj].set(True)
-            rs = cond.gibbs_resample_source(k_src, state, clusters_new, subset, i_cluster,
-                                            conf_counts_full=counts[1])
-            state_new = state._replace(clusters=clusters_new, source=rs.source)
+            rs = cond.gibbs_resample_source_rows(
+                k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
+                i_cluster, counts)
             counts_new = self._delta_counts(counts, obj, state.clusters, clusters_new,
                                             state.source[obj], rs.source[obj])
+            state_new = self._put_counts(
+                state._replace(clusters=clusters_new, source=rs.source), counts_new)
 
             # Backward: add probability in the new state
             grow_cand = self._grow_candidates(clusters_new, i_cluster, neighbourhood)
@@ -396,8 +409,8 @@ class OperatorFactory:
 
             log_q = jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q + jnp.log(1 - p_grow)
             log_q_back = jnp.log(jnp.maximum(p_add[obj], TINY)) + rs.log_q_back + jnp.log(p_grow)
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0), counts_new)
-            return _select_result(rejected, _reject(state, counts), res)
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
+            return _select_result(rejected, _reject(state), res)
 
         def op(key, state):
             k_c, k_g, k_branch = jax.random.split(key, 3)
@@ -408,7 +421,8 @@ class OperatorFactory:
             boundary = at_min | at_max
             do_grow = jnp.where(at_min, True, jnp.where(at_max, False, jax.random.uniform(k_g) < p_grow))
 
-            counts = cond.post.feature_counts(state.clusters, state.source)
+            counts = self._state_counts(state)
+            state = self._put_counts(state, counts)
             res = lax.cond(do_grow, lambda: grow(k_branch, state, i_cluster, counts),
                            lambda: shrink(k_branch, state, i_cluster, counts))
             # Boundary correction -log(2) on the backward probability
@@ -480,7 +494,8 @@ class OperatorFactory:
             cluster_old = state.clusters[i_cluster]
             avail = (~self._occupied(state.clusters)) | cluster_old
 
-            counts = cond.post.feature_counts(state.clusters, state.source)
+            counts = self._state_counts(state)
+            state = self._put_counts(state, counts)
             p = cluster_probs(state, i_cluster, avail, counts)
 
             # Redraw until the proposal differs from the current cluster
@@ -514,10 +529,11 @@ class OperatorFactory:
             changed = cluster_old != cluster_new
             rs = cond.gibbs_resample_source(k_src, state, clusters_new, changed, i_cluster,
                                             conf_counts_full=counts[1])
-            state_new = state._replace(clusters=clusters_new, source=rs.source)
-            # multi-object change: full recompute, but shared by the
-            # backward probs AND the MH kernel via OpResult.counts
+            # multi-object change: full recompute, shared by the backward
+            # probs AND (via the state counts) the MH kernel
             counts_new = cond.post.feature_counts(clusters_new, rs.source)
+            state_new = self._put_counts(
+                state._replace(clusters=clusters_new, source=rs.source), counts_new)
 
             p_back = cluster_probs(state_new, i_cluster, avail, counts_new)
             qb_site = jnp.where(cluster_old, p_back, 1.0 - p_back)
@@ -531,9 +547,8 @@ class OperatorFactory:
                 log_q + rs.log_q,
                 log_q_back + rs.log_q_back,
                 changed.sum().astype(jnp.float32),
-                counts_new,
             )
-            return _select_result(rejected, _reject(state, counts), res)
+            return _select_result(rejected, _reject(state), res)
 
         return op
 
@@ -563,7 +578,12 @@ class OperatorFactory:
             clusters_new = state.clusters.at[i_cluster].set(cluster_new)
             changed = cluster_old != cluster_new
             rs = cond.gibbs_resample_source(key, state, clusters_new, changed, i_cluster)
-            return state._replace(clusters=clusters_new, source=rs.source)
+            state_new = state._replace(clusters=clusters_new, source=rs.source)
+            if state.cl_counts is not None:
+                # keep the carried-counts invariant through initializer steps
+                state_new = self._put_counts(
+                    state_new, cond.post.feature_counts(clusters_new, rs.source))
+            return state_new
 
         return ml_step
 
@@ -616,7 +636,8 @@ class OperatorFactory:
 
                 def log_marginal(p_clust):
                     p_total = p_conf + w_clust[:, :, None] * p_clust[None]
-                    lh_f = jnp.einsum("nfs,nfs->nf", feats_t, p_total)
+                    lh_f = jnp.einsum("nfs,nfs->nf", feats_t, p_total.astype(feats_t.dtype),
+                                      preferred_element_type=jnp.float32)
                     return jnp.where(~na_t, jnp.log(jnp.maximum(lh_f, TINY)), 0.0).sum(-1)
 
                 return log_marginal(effect(i_src)), log_marginal(effect(i_tgt))
@@ -665,7 +686,8 @@ class OperatorFactory:
                 target_cluster.sum() >= consts.max_size
             )
 
-            cl_counts, conf_counts = cond.post.feature_counts(state.clusters, state.source)
+            cl_counts, conf_counts = self._state_counts(state)
+            state = self._put_counts(state, (cl_counts, conf_counts))
             if gibbsish and not self.sample_from_prior:
                 pj = jump_lh(state, cl_counts, conf_counts, i_src, i_tgt)
             else:
@@ -675,16 +697,17 @@ class OperatorFactory:
 
             obj = _masked_categorical(k_obj, pj_vec, source_cluster)
             clusters_new = state.clusters.at[i_src, obj].set(False).at[i_tgt, obj].set(True)
-            subset = jnp.zeros(N, bool).at[obj].set(True)
-            rs = cond.gibbs_resample_source_jump(k_src, state, clusters_new, subset,
-                                                 i_cluster_new=i_tgt, i_cluster_old=i_src,
-                                                 conf_counts_full=conf_counts)
-            state_new = state._replace(clusters=clusters_new, source=rs.source)
-
+            rs = cond.gibbs_resample_source_jump_rows(
+                k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
+                i_cluster_new=i_tgt, i_cluster_old=i_src,
+                counts=(cl_counts, conf_counts))
             cl_counts2, conf_counts2 = self._delta_counts(
                 (cl_counts, conf_counts), obj, state.clusters, clusters_new,
                 state.source[obj], rs.source[obj],
             )
+            state_new = self._put_counts(
+                state._replace(clusters=clusters_new, source=rs.source),
+                (cl_counts2, conf_counts2))
             if gibbsish and not self.sample_from_prior:
                 pjb = jump_lh(state_new, cl_counts2, conf_counts2, i_tgt, i_src)
             else:
@@ -695,9 +718,8 @@ class OperatorFactory:
 
             log_q = jnp.log(jnp.maximum(p_jump[obj], TINY)) + rs.log_q
             log_q_back = jnp.log(jnp.maximum(p_jump_back[obj], TINY)) + rs.log_q_back
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
-                           (cl_counts2, conf_counts2))
-            return _select_result(rejected, _reject(state, (cl_counts, conf_counts)), res)
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
+            return _select_result(rejected, _reject(state), res)
 
         return op
 
@@ -718,15 +740,18 @@ class OperatorFactory:
         k_cap = min(max_size, N)
 
         # Static group tensor rows: clusters are dynamic, confounder groups static.
-        def select_subset(key, state):
-            if object_selector == "all":
-                return jnp.ones(N, bool)
+        def select_subset_idx(key, state):
+            """(obj_idx (k_cap,), valid (k_cap,)) distinct gathered indices.
+
+            Equivalent in distribution to the reference's subset selection
+            (operators.py:443-483): a uniform random subset, or one random
+            group capped at ``max_size`` members (Gumbel top-k = uniform
+            sampling without replacement within the group)."""
             k1, k2, k3 = jax.random.split(key, 3)
             if object_selector == "random_subset":
                 idx = jax.random.choice(k1, N, shape=(k_cap,), replace=False)
-                return jnp.zeros(N, bool).at[idx].set(True)
-            # groups: pick one component uniformly, then one group within it;
-            # cap the subset at k_cap members via Gumbel top-k.
+                return idx, jnp.ones(k_cap, bool)
+            # groups: pick one component uniformly, then one group within it.
             comp = jax.random.randint(k1, (), 0, 1 + n_conf)
             all_rows = [state.clusters]
             for i_c in range(n_conf):
@@ -740,11 +765,9 @@ class OperatorFactory:
             offsets = jnp.asarray([0] + [K + i * consts.Gmax for i in range(n_conf)], jnp.int32)
             member = stacked[offsets[comp] + g_idx]
 
-            g_size = member.sum()
             scores = jnp.where(member, jax.random.gumbel(k3, (N,)), -jnp.inf)
             top_vals, top_idx = lax.top_k(scores, k_cap)
-            capped = jnp.zeros(N, bool).at[top_idx].set(jnp.isfinite(top_vals))
-            return jnp.where(g_size > k_cap, capped, member)
+            return top_idx, jnp.isfinite(top_vals)
 
         def posterior_probs(state, counts=None):
             if self.sample_from_prior:
@@ -753,24 +776,66 @@ class OperatorFactory:
             return cond.source_posterior(state.clusters, state.weights, state.source,
                                          counts=counts)
 
-        def op_fused(key, state):
+        def op_rows(key, state):
+            """Gathered-rows path for the capped selectors: O(m·F) work —
+            posterior at the m subset rows only, exact delta-count update,
+            no full-tensor streams (the reference's incremental-counts
+            behavior, recovered on TPU via static-size gathers)."""
             k_sel, k_draw = jax.random.split(key)
-            subset = select_subset(k_sel, state)
+            counts_old = self._state_counts(state)
+            state = self._put_counts(state, counts_old)
+            obj_idx, valid = select_subset_idx(k_sel, state)
+            feats_m = jnp.asarray(consts.features)[obj_idx]
+            na_m = na[obj_idx]
+            old_rows = state.source[obj_idx]
 
-            p = posterior_probs(state)
+            if self.sample_from_prior:
+                hc_conf_m = jnp.asarray(consts.hc_conf)[obj_idx]
+                hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)
+                hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
+                w = normalize_weights(state.weights, hc_m) ** (1.0 / self.Tp)
+                p = normalize(w, axis=-1)
+            else:
+                p = cond.source_posterior_rows(state.clusters, state.weights,
+                                               counts_old, obj_idx, feats_m, na_m)
+            x = sample_categorical_onehot(k_draw, p) & ~na_m[:, :, None]
+            new_rows = jnp.where(valid[:, None, None], x, old_rows)
+            source_new = state.source.at[obj_idx].set(new_rows)
+
+            log_q = cond._rows_logp(p, new_rows, valid, na_m)
+            counts_new = cond.delta_counts_rows(counts_old, state.clusters, obj_idx,
+                                                valid, old_rows, new_rows, feats_m)
+            state_new = self._put_counts(state._replace(source=source_new), counts_new)
+
+            if self.sample_from_prior:
+                p_back = p
+            else:
+                p_back = cond.source_posterior_rows(state.clusters, state.weights,
+                                                    counts_new, obj_idx, feats_m, na_m)
+            log_q_back = cond._rows_logp(p_back, old_rows, valid, na_m)
+
+            step_size = ((new_rows ^ old_rows) & valid[:, None, None]).sum().astype(jnp.float32)
+            return OpResult(state_new, log_q, log_q_back, step_size)
+
+        def op_fused(key, state):
+            k_draw = key
+            counts_old = self._state_counts(state)
+            state = self._put_counts(state, counts_old)
+            subset = jnp.ones(N, bool)
+
+            p = posterior_probs(state, counts_old)
             x = sample_categorical_onehot(k_draw, p)
             x = x & ~na[:, :, None]
             source_new = jnp.where(subset[:, None, None], x, state.source)
-            state_new = state._replace(source=source_new)
 
             log_q = cond._masked_source_logp(p, source_new, subset)
-            counts_new = (None if self.sample_from_prior
-                          else cond.post.feature_counts(state.clusters, source_new))
+            counts_new = cond.post.feature_counts(state.clusters, source_new)
+            state_new = self._put_counts(state._replace(source=source_new), counts_new)
             p_back = posterior_probs(state_new, counts_new)
             log_q_back = cond._masked_source_logp(p_back, state.source, subset)
 
             step_size = (source_new ^ state.source).sum().astype(jnp.float32)
-            return OpResult(state_new, log_q, log_q_back, step_size, counts_new)
+            return OpResult(state_new, log_q, log_q_back, step_size)
 
         def op_tiled(key, state):
             """Two tile sweeps: sample forward from the OLD counts, then
@@ -781,8 +846,10 @@ class OperatorFactory:
             c = consts
             fc = c.feature_chunk
             n_tiles = c.F // fc
-            k_sel, k_draw = jax.random.split(key)
-            subset = select_subset(k_sel, state)
+            k_draw = key
+            counts_old = self._state_counts(state)
+            state = self._put_counts(state, counts_old)
+            subset = jnp.ones(N, bool)
             hc = cond.post.has_components(state.clusters)
             feats_full, na_full = jnp.asarray(c.features), jnp.asarray(c.na)
             conc_cl, conc_cf = jnp.asarray(c.conc_cluster), jnp.asarray(c.conc_conf)
@@ -803,8 +870,6 @@ class OperatorFactory:
                 w = normalize_weights(weights_t, hc)
                 return normalize(lh ** (1.0 / self.T) * w ** (1.0 / self.Tp), axis=-1)
 
-            counts_old = (None, None) if self.sample_from_prior else \
-                cond.post.feature_counts(state.clusters, state.source)
             keys = jax.random.split(k_draw, n_tiles)
 
             def fwd_tile(args):
@@ -821,10 +886,9 @@ class OperatorFactory:
             src_t, lq_t = jax.lax.map(fwd_tile, (jnp.arange(n_tiles), keys))
             source_new = jnp.moveaxis(src_t, 0, 1).reshape(c.N, c.F, c.C)
             log_q = lq_t.sum()
-            state_new = state._replace(source=source_new)
 
-            counts_new = (None, None) if self.sample_from_prior else \
-                cond.post.feature_counts(state.clusters, source_new)
+            counts_new = cond.post.feature_counts(state.clusters, source_new)
+            state_new = self._put_counts(state._replace(source=source_new), counts_new)
 
             def back_tile(i):
                 na_t = feature_tile(na_full, i, fc, axis=1)
@@ -836,9 +900,10 @@ class OperatorFactory:
             log_q_back = jax.lax.map(back_tile, jnp.arange(n_tiles)).sum()
 
             step_size = (source_new ^ state.source).sum().astype(jnp.float32)
-            return OpResult(state_new, log_q, log_q_back, step_size,
-                            None if self.sample_from_prior else counts_new)
+            return OpResult(state_new, log_q, log_q_back, step_size)
 
+        if object_selector != "all":
+            return op_rows
         fc = consts.feature_chunk
         return op_tiled if (fc is not None and fc < consts.F) else op_fused
 

@@ -35,6 +35,15 @@ class ChainState(NamedTuple):
     log_lh: jnp.ndarray       # f32 () current log-likelihood (unheated)
     log_prior: jnp.ndarray    # f32 () current log-prior (unheated)
     prior_parts: jnp.ndarray  # f32 (4,) [size, geo, weights, source] log-priors
+    # Sufficient-statistic counts of (clusters, source) carried as part of
+    # the Markov-chain state: cl_counts (K,F,S) and conf_counts
+    # (C-1,Gmax,F,S). Operators maintain them with EXACT integer-valued f32
+    # delta updates (or tile-fused recomputes for multi-object moves), so
+    # per-step kernels never re-stream the (N,F,S) feature tensor just to
+    # rebuild counts. ``None`` only on freshly built states before
+    # ``Posterior.fill_state`` — every sampling path fills them first.
+    cl_counts: jnp.ndarray = None    # f32 (K, F, S)
+    conf_counts: jnp.ndarray = None  # f32 (C-1, Gmax, F, S)
 
     @property
     def n_clusters(self):
@@ -53,7 +62,7 @@ class ChainState(NamedTuple):
         return self.weights.shape[-1]
 
     def to_numpy(self) -> dict:
-        return {
+        d = {
             "clusters": np.asarray(self.clusters),
             "weights": np.asarray(self.weights),
             "source": np.asarray(self.source),
@@ -61,9 +70,15 @@ class ChainState(NamedTuple):
             "log_prior": float(self.log_prior),
             "prior_parts": np.asarray(self.prior_parts),
         }
+        if self.cl_counts is not None:
+            d["cl_counts"] = np.asarray(self.cl_counts)
+            d["conf_counts"] = np.asarray(self.conf_counts)
+        return d
 
     @classmethod
     def from_numpy(cls, d: dict) -> "ChainState":
+        """Rebuild from a checkpoint dict. Counts absent from legacy
+        checkpoints stay ``None``; callers refresh via fill_state."""
         return cls(
             clusters=jnp.asarray(d["clusters"], dtype=bool),
             weights=jnp.asarray(d["weights"], dtype=jnp.float32),
@@ -73,6 +88,10 @@ class ChainState(NamedTuple):
             prior_parts=jnp.asarray(
                 d.get("prior_parts", np.full(4, -np.inf)), dtype=jnp.float32
             ),
+            cl_counts=(jnp.asarray(d["cl_counts"], jnp.float32)
+                       if "cl_counts" in d else None),
+            conf_counts=(jnp.asarray(d["conf_counts"], jnp.float32)
+                         if "conf_counts" in d else None),
         )
 
 

@@ -21,6 +21,13 @@ def synthetic_data_large(
     na_fraction: float = 0.01,
     seed: int = 0,
 ) -> Data:
+    import sys
+    import time as _t
+
+    def _stage(msg):
+        print(f"  [datagen +{_t.perf_counter() - _t0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+    _t0 = _t.perf_counter()
     rng = np.random.default_rng(seed)
 
     locations = rng.uniform(-75, -35, size=(n_objects, 2))
@@ -32,15 +39,19 @@ def synthetic_data_large(
     family_of = rng.integers(0, n_families, size=n_objects)
     probs = rng.dirichlet(np.ones(n_states), size=(n_families, n_features))
 
-    # Vectorized categorical draw: inverse-CDF over the state axis
-    cdf = np.cumsum(probs[family_of], axis=-1)           # (N, F, S)
-    u = rng.random((n_objects, n_features, 1))
+    # Vectorized categorical draw: inverse-CDF over the state axis.
+    # f32 throughout — the f64 (N, F, S) cdf alone is 2 GB at 10k x 5k.
+    _stage("drawing features")
+    cdf = np.cumsum(probs[family_of].astype(np.float32), axis=-1)  # (N, F, S)
+    u = rng.random((n_objects, n_features, 1), dtype=np.float32)
     idx = (u > cdf).sum(-1)                              # (N, F)
+    del cdf, u
     values = idx[:, :, None] == np.arange(n_states)[None, None, :]
 
     na_mask = rng.random((n_objects, n_features)) < na_fraction
     values[na_mask] = False
 
+    _stage("features drawn")
     state_names = [[f"s{j}" for j in range(n_states)] for _ in range(n_features)]
     features = Features(
         values=values,
@@ -58,5 +69,8 @@ def synthetic_data_large(
     )
 
     # projection=None: planar distances (skips the 10k x 10k geodesic solve)
-    return Data(objects=objects, features=features, confounders=confounders,
+    _stage("building Data (Delaunay + distance matrix)")
+    data = Data(objects=objects, features=features, confounders=confounders,
                 projection=None, geo_costs="from_data")
+    _stage("Data ready")
+    return data

@@ -1,7 +1,7 @@
-"""OpResult.counts invariant: every operator that threads candidate counts
-to the MH kernel must thread EXACTLY the counts of its candidate state.
+"""Carried-counts invariant: ChainState.cl_counts/conf_counts must equal a
+full sufficient-statistic recompute after EVERY operator application.
 
-The cluster operators compute them as O(F·S) delta updates
+The cluster operators maintain them as O(F·S) delta updates
 (OperatorFactory._delta_counts) instead of the full O(N·F·S) einsum; the
 counts are integer-valued f32, so equality is exact — any mismatch means a
 wrong candidate log-likelihood in the MH ratio.
@@ -10,7 +10,6 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 
 @pytest.fixture(scope="module")
@@ -28,37 +27,42 @@ def setup():
     cond = Conditionals(Posterior(model.consts), 1.0, 1.0)
     ops = get_operator_schedule(cond, config.mcmc.operators)
     state = jax.jit(lambda k: generate_prior_sample(k, cond))(jax.random.PRNGKey(8))
+    state = jax.jit(cond.post.fill_state)(state)
     return cond, ops, state
 
 
-def test_op_result_counts_match_full_recompute(setup):
+def test_state_counts_match_full_recompute(setup):
     cond, ops, state = setup
+    assert state.cl_counts is not None, "fill_state must set the carried counts"
     for spec in ops:
         for seed in range(4):
             res = jax.jit(spec.fn)(jax.random.PRNGKey(100 + seed), state)
-            if res.counts is None:
-                continue
+            assert res.state.cl_counts is not None, (
+                f"{spec.name}: candidate state lost the carried counts"
+            )
             cl, conf = jax.jit(cond.post.feature_counts)(
                 res.state.clusters, res.state.source
             )
             np.testing.assert_array_equal(
-                np.asarray(res.counts[0]), np.asarray(cl),
+                np.asarray(res.state.cl_counts), np.asarray(cl),
                 err_msg=f"{spec.name} seed {seed}: cluster counts diverge",
             )
             np.testing.assert_array_equal(
-                np.asarray(res.counts[1]), np.asarray(conf),
+                np.asarray(res.state.conf_counts), np.asarray(conf),
                 err_msg=f"{spec.name} seed {seed}: confounder counts diverge",
             )
 
 
-def test_counts_threading_ops_cover_hot_branches(setup):
-    """The cluster family and source ops must actually thread counts
-    (a silent None would quietly reintroduce the kernel recompute)."""
+def test_counts_survive_a_kernel_chunk(setup):
+    """After a scanned multi-step chunk (mixed accept/reject across all
+    operator branches) the carried counts still match a full recompute."""
+    from sbayes_tpu.sampling.kernel import Carry, OperatorStats, make_chunk_runner
+
     cond, ops, state = setup
-    threading = {}
-    for spec in ops:
-        res = jax.jit(spec.fn)(jax.random.PRNGKey(3), state)
-        threading[spec.name] = res.counts is not None
-    for name in ("cluster_gibbsish_geo", "cluster_jump_gibbsish",
-                 "gibbsish_sample_cluster_wide_geo", "gibbs_sample_sources"):
-        assert threading[name], f"{name} does not thread candidate counts"
+    run = make_chunk_runner(cond, ops)
+    carry = run(jax.random.PRNGKey(5), state, OperatorStats.zeros(len(ops)), 60)
+    cl, conf = jax.jit(cond.post.feature_counts)(
+        carry.state.clusters, carry.state.source
+    )
+    np.testing.assert_array_equal(np.asarray(carry.state.cl_counts), np.asarray(cl))
+    np.testing.assert_array_equal(np.asarray(carry.state.conf_counts), np.asarray(conf))
