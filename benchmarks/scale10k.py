@@ -36,7 +36,8 @@ def run(n_objects=10_000, n_features=5_000, n_chains=2, chunk_steps=20):
 
     t0 = time.perf_counter()
     data = synthetic_data_large(n_objects=n_objects, n_features=n_features,
-                                n_states=5, n_families=10, seed=0)
+                                n_states=5, n_families=10, seed=0,
+                                cache_dir="/root/repo/.scale_cache")
     print(f"data gen: {time.perf_counter() - t0:.1f}s", flush=True)
     config = synthetic_config(n_clusters=5, geo_prior="uniform")
     # wider size bounds for 10k objects

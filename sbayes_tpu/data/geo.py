@@ -187,14 +187,12 @@ class ComputeNetwork:
         edges = np.column_stack((v1, v2))
 
         kind = _parse_crs(crs)
+        self._dist_kind = kind
         if kind is not None:
             if kind == "lonlat":
                 lons, lats = locations[:, 0], locations[:, 1]
             else:  # a parsed Projection: unproject to true lon/lat first
                 lons, lats = kind.inverse(locations[:, 0], locations[:, 1])
-            dist_mat = vincenty_inverse(
-                lats[:, None], lons[:, None], lats[None, :], lons[None, :]
-            )
             self.lat_lon = np.vstack((lons, lats)).T
         else:
             if crs is not None:
@@ -204,8 +202,6 @@ class ComputeNetwork:
                     f"CRS '{crs}' is not supported; treating "
                     f"coordinates as planar (Euclidean distances)."
                 )
-            diff = locations[:, None] - locations
-            dist_mat = np.linalg.norm(diff, axis=-1)
             self.lat_lon = None
 
         self.vertices = vertices
@@ -214,7 +210,25 @@ class ComputeNetwork:
         self.adj_mat = delaunay.tocsr()
         self.n = len(vertices)
         self.m = edges.shape[0]
-        self.dist_mat = np.asarray(dist_mat)
+        self._dist_mat = None
+
+    @property
+    def dist_mat(self):
+        """(N, N) distance matrix, computed lazily on first access — the
+        O(N²) buffer is skipped entirely for configs that never read it
+        (e.g. a uniform geo prior at the 10k scale-up)."""
+        if self._dist_mat is None:
+            if self._dist_kind is not None:
+                lons, lats = self.lat_lon[:, 0], self.lat_lon[:, 1]
+                self._dist_mat = np.asarray(vincenty_inverse(
+                    lats[:, None], lons[:, None], lats[None, :], lons[None, :]
+                ))
+            else:
+                from scipy.spatial.distance import cdist
+
+                # cdist writes one (N, N) output with no (N, N, 2) temp
+                self._dist_mat = cdist(self.locations, self.locations)
+        return self._dist_mat
 
     def __getitem__(self, key):
         return getattr(self, key)

@@ -158,12 +158,22 @@ class Data:
         self.crs = projection
         self.network = ComputeNetwork(self.objects, crs=projection)
 
-        if geo_costs == "from_data":
-            self.geo_cost_matrix = self.network.dist_mat
-        else:
-            self.geo_cost_matrix = read_geo_cost_matrix(
-                object_names=self.objects.id, file=geo_costs, logger=self.logger
-            )
+        self._geo_costs = geo_costs
+        self._geo_cost_matrix = None
+
+    @property
+    def geo_cost_matrix(self):
+        """Lazy: the O(N²) matrix is only materialized when a config
+        actually consumes it (non-uniform geo priors)."""
+        if self._geo_cost_matrix is None:
+            if self._geo_costs == "from_data":
+                self._geo_cost_matrix = self.network.dist_mat
+            else:
+                self._geo_cost_matrix = read_geo_cost_matrix(
+                    object_names=self.objects.id, file=self._geo_costs,
+                    logger=self.logger,
+                )
+        return self._geo_cost_matrix
 
     @classmethod
     def from_config(cls, config, logger=None) -> "Data":

@@ -303,7 +303,9 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
 
     return ModelConstants(
         shapes=shapes,
-        features=jnp.asarray(features.values.astype(FLOAT_TYPE), dtype=feat_dtype),
+        # bool -> target dtype directly (no f32 intermediate: at 10k x 5k
+        # that temp alone is 1 GB of fresh pages)
+        features=jnp.asarray(features.values, dtype=feat_dtype),
         na=jnp.asarray(features.na_values.astype(bool)),
         applicable=jnp.asarray(applicable),
         n_states_per_feature=jnp.asarray(applicable.sum(-1).astype(FLOAT_TYPE)),

@@ -438,7 +438,11 @@ class Conditionals:
         the carried sufficient-statistic counts of ``state_old``.
         """
         c = self.consts
-        feats_m = jnp.asarray(c.features)[obj_idx]       # (m, F, S)
+        # Gathered rows are tiny — compute them in full f32 even when the
+        # resident feature tensor is bf16 (better proposal densities at
+        # zero streaming cost; the q-ratio cancellation in the MH step is
+        # then f32-tight).
+        feats_m = jnp.asarray(c.features)[obj_idx].astype(jnp.float32)  # (m, F, S)
         na_m = jnp.asarray(c.na)[obj_idx]                # (m, F)
         src_rows_old = state_old.source[obj_idx]         # (m, F, C)
 

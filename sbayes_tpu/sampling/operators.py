@@ -785,7 +785,8 @@ class OperatorFactory:
             counts_old = self._state_counts(state)
             state = self._put_counts(state, counts_old)
             obj_idx, valid = select_subset_idx(k_sel, state)
-            feats_m = jnp.asarray(consts.features)[obj_idx]
+            # f32 gathered rows: see Conditionals._resample_engine_rows
+            feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
             na_m = na[obj_idx]
             old_rows = state.source[obj_idx]
 

@@ -20,7 +20,21 @@ def synthetic_data_large(
     n_families: int = 10,
     na_fraction: float = 0.01,
     seed: int = 0,
+    cache_dir: str = None,
 ) -> Data:
+    """``cache_dir``: persist the drawn arrays to an .npz so repeat probe
+    runs (and runs inside tunnel-burdened processes, where large numpy ops
+    crawl) skip the generation."""
+    import os
+
+    cache = None
+    if cache_dir is not None:
+        key = f"scale_{n_objects}x{n_features}x{n_states}_fam{n_families}_s{seed}.npz"
+        cache = os.path.join(cache_dir, key)
+        if os.path.exists(cache):
+            z = np.load(cache)
+            return _assemble_data(z["values"], z["family_of"], z["locations"],
+                                  int(z["na_number"]), n_states, n_families)
     import sys
     import time as _t
 
@@ -31,34 +45,54 @@ def synthetic_data_large(
     rng = np.random.default_rng(seed)
 
     locations = rng.uniform(-75, -35, size=(n_objects, 2))
-    ids = [f"o{i}" for i in range(n_objects)]
-    objects = Objects(id=ids, locations=locations, names=list(ids))
-
-    applicable = np.ones((n_features, n_states), dtype=bool)
-
     family_of = rng.integers(0, n_families, size=n_objects)
     probs = rng.dirichlet(np.ones(n_states), size=(n_families, n_features))
 
-    # Vectorized categorical draw: inverse-CDF over the state axis.
-    # f32 throughout — the f64 (N, F, S) cdf alone is 2 GB at 10k x 5k.
+    # Vectorized categorical draw: inverse-CDF over the state axis,
+    # chunked over objects. This environment first-touches fresh pages at
+    # only a few MB/s, so GB-sized temporaries dominate wall time — the
+    # chunking keeps temps ~25 MB (warm pages) and touches only the
+    # (N, F, S) bool output once.
     _stage("drawing features")
-    cdf = np.cumsum(probs[family_of].astype(np.float32), axis=-1)  # (N, F, S)
-    u = rng.random((n_objects, n_features, 1), dtype=np.float32)
-    idx = (u > cdf).sum(-1)                              # (N, F)
-    del cdf, u
-    values = idx[:, :, None] == np.arange(n_states)[None, None, :]
-
-    na_mask = rng.random((n_objects, n_features)) < na_fraction
-    values[na_mask] = False
+    cdf_fam = np.cumsum(probs.astype(np.float32), axis=-1)  # (fam, F, S) tiny
+    values = np.empty((n_objects, n_features, n_states), dtype=bool)
+    na_number = 0
+    chunk = max(1, 25_000_000 // (n_features * n_states))
+    states_row = np.arange(n_states)[None, None, :]
+    for lo in range(0, n_objects, chunk):
+        hi = min(lo + chunk, n_objects)
+        cdf = cdf_fam[family_of[lo:hi]]                       # (m, F, S)
+        u = rng.random((hi - lo, n_features, 1), dtype=np.float32)
+        idx = (u > cdf).sum(-1)                               # (m, F)
+        np.equal(idx[:, :, None], states_row, out=values[lo:hi])
+        na = rng.random((hi - lo, n_features)) < na_fraction
+        values[lo:hi][na] = False
+        na_number += int(na.sum())
 
     _stage("features drawn")
+    if cache is not None:
+        np.savez(cache, values=values, family_of=family_of, locations=locations,
+                 na_number=na_number)
+        _stage(f"cached to {cache}")
+
+    return _assemble_data(values, family_of, locations, na_number,
+                          n_states, n_families)
+
+
+def _assemble_data(values, family_of, locations, na_number,
+                   n_states, n_families) -> Data:
+    n_objects, n_features = values.shape[:2]
+    ids = [f"o{i}" for i in range(n_objects)]
+    objects = Objects(id=ids, locations=locations, names=list(ids))
+    applicable = np.ones((n_features, n_states), dtype=bool)
+
     state_names = [[f"s{j}" for j in range(n_states)] for _ in range(n_features)]
     features = Features(
         values=values,
         names=np.asarray([f"f{j}" for j in range(n_features)]),
         states=applicable,
         state_names=state_names,
-        na_number=int(na_mask.sum()),
+        na_number=na_number,
     )
 
     fam_names = [f"fam{i}" for i in range(n_families)]
@@ -69,8 +103,5 @@ def synthetic_data_large(
     )
 
     # projection=None: planar distances (skips the 10k x 10k geodesic solve)
-    _stage("building Data (Delaunay + distance matrix)")
-    data = Data(objects=objects, features=features, confounders=confounders,
+    return Data(objects=objects, features=features, confounders=confounders,
                 projection=None, geo_costs="from_data")
-    _stage("Data ready")
-    return data
