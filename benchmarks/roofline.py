@@ -41,7 +41,8 @@ def main(n_objects=10_000, n_features=5_000, n_chains=2):
     if n_objects * n_features > 1_000_000:
         from sbayes_tpu.testing_scale import synthetic_data_large as make_data
         data = make_data(n_objects=n_objects, n_features=n_features,
-                         n_states=5, n_families=10, seed=0)
+                         n_states=5, n_families=10, seed=0,
+                         cache_dir="/root/repo/.scale_cache")
         n_states = 5
     else:
         from sbayes_tpu.testing import synthetic_data
@@ -67,7 +68,6 @@ def main(n_objects=10_000, n_features=5_000, n_chains=2):
     jax.block_until_ready(states.clusters)
 
     # --- 1. minimal pass: one fused counts+loglh recompute per chain ---
-    post = rt._posterior_for_probe() if hasattr(rt, "_posterior_for_probe") else None
     from sbayes_tpu.model.posterior import Posterior
 
     def min_pass(consts, clusters_b, source_b):

@@ -35,6 +35,10 @@ class SourceResample(NamedTuple):
     source: jnp.ndarray       # (N, F, C) new source array
     log_q: jnp.ndarray        # scalar forward log-probability
     log_q_back: jnp.ndarray   # scalar backward log-probability
+    # Exact (unheated) source-prior delta of the move incl. the subset
+    # rows' availability change — set by the gathered-rows engine, None on
+    # the mask paths (callers then recompute the source prior in full).
+    source_prior_delta: jnp.ndarray = None
 
 
 class Conditionals:
@@ -45,7 +49,7 @@ class Conditionals:
         posterior: Posterior,
         temperature: float = 1.0,
         prior_temperature: float = 1.0,
-        sample_from_prior: bool = False,
+        sample_from_prior: bool = None,
     ):
         self.post = posterior
         self.consts: ModelConstants = posterior.consts
@@ -54,6 +58,15 @@ class Conditionals:
         # temperature ladder (MC3) compiles to ONE program.
         self.T = temperature
         self.Tp = prior_temperature
+        # Default: inherit the posterior's mode. A silent mismatch here
+        # (posterior in prior-mode, conditionals in data-mode) froze the
+        # production sample_from_prior sampler — the operators proposed
+        # data-driven moves while the MH target was the prior.
+        if sample_from_prior is None:
+            sample_from_prior = posterior.sample_from_prior
+        assert sample_from_prior == posterior.sample_from_prior, (
+            "Conditionals/Posterior sample_from_prior mismatch"
+        )
         self.sample_from_prior = sample_from_prior
 
     # ------------------------------------------------------------------
@@ -126,6 +139,20 @@ class Conditionals:
             **{k: feature_tile(a, i, fc, axis=ax) for k, (a, ax) in arrs.items()}
         )
 
+    def _conf_counts_of(self, source):
+        """(C-1, Gmax, F, S) confounder counts of a source array (per-
+        component masked-feature matmuls; no 4-D einsum intermediates)."""
+        c = self.consts
+        feats = jnp.asarray(c.features)
+        dtype = feats.dtype
+        groups = jnp.asarray(c.groups).astype(dtype)
+        return jnp.stack([
+            jnp.einsum("gn,nfs->gfs", groups[i_c],
+                       feats * source[:, :, 1 + i_c].astype(dtype)[:, :, None],
+                       preferred_element_type=jnp.float32)
+            for i_c in range(source.shape[-1] - 1)
+        ], axis=0)
+
     def _clgu_slice(self, clusters, subset, i_cluster, fs: "_FeatureSlice"):
         """component_likelihood_given_unchanged on one feature slice.
 
@@ -157,10 +184,16 @@ class Conditionals:
                          preferred_element_type=jnp.float32)
 
         # Confounder components: full counts minus subset contribution.
-        srcc = fs.source[:, :, 1:].astype(dtype)
+        # Per-component loop (C tiny/static): every pairwise path of the
+        # fused "cgn,n,nfc,nfs->cgfs" einsum materializes an O(N·f·S·C)
+        # or O(G·N·f) intermediate.
         groups = jnp.asarray(c.groups).astype(dtype)
-        changeable = jnp.einsum("cgn,n,nfc,nfs->cgfs", groups, sub, srcc, feats,
-                                preferred_element_type=jnp.float32)
+        changeable = jnp.stack([
+            jnp.einsum("gn,nfs->gfs", groups[i_c] * sub[None, :],
+                       feats * (fs.source[:, :, 1 + i_c].astype(dtype))[:, :, None],
+                       preferred_element_type=jnp.float32)
+            for i_c in range(fs.source.shape[-1] - 1)
+        ], axis=0)
         unchangeable = fs.conf_counts - changeable
         conf_effect = conditional_effect_mean(
             prior_counts=fs.conc_conf,
@@ -183,12 +216,7 @@ class Conditionals:
         ``_clgu_slice``; the resample paths tile it over F at scale)."""
         c = self.consts
         if conf_counts_full is None:
-            feats = jnp.asarray(c.features)
-            srcc = source[:, :, 1:].astype(feats.dtype)
-            conf_counts_full = jnp.einsum(
-                "cgn,nfc,nfs->cgfs", jnp.asarray(c.groups).astype(feats.dtype),
-                srcc, feats, preferred_element_type=jnp.float32,
-            )
+            conf_counts_full = self._conf_counts_of(source)
         fs = self._feature_slice(source, jnp.zeros((c.F, c.C)), conf_counts_full, i=None)
         return self._clgu_slice(clusters, subset, i_cluster, fs)
 
@@ -316,12 +344,7 @@ class Conditionals:
         sfp = self.sample_from_prior
 
         if conf_counts_full is None:
-            feats = jnp.asarray(c.features)
-            srcc = state_old.source[:, :, 1:].astype(feats.dtype)
-            conf_counts_full = jnp.einsum(
-                "cgn,nfc,nfs->cgfs", jnp.asarray(c.groups).astype(feats.dtype),
-                srcc, feats, preferred_element_type=jnp.float32,
-            )
+            conf_counts_full = self._conf_counts_of(state_old.source)
 
         def tile_out(fs: "Conditionals._FeatureSlice", k):
             w_f = normalize_weights(fs.weights, hc_new)
@@ -429,6 +452,15 @@ class Conditionals:
         chosen = (p * rows).sum(-1)
         return jnp.where(ok, jnp.log(jnp.maximum(chosen, 1e-35)), 0.0).sum()
 
+    def source_prior_rows_logp(self, weights, hc_rows, rows, valid, na_m):
+        """Unheated source-prior contribution of the gathered rows
+        (identical math to Posterior.source_prior restricted to the rows:
+        sum over valid, non-NA cells of log(normalized_weights · source))."""
+        w = normalize_weights(weights, hc_rows)   # (m, F, C)
+        p = (w * rows).sum(-1)
+        ok = (~na_m) & valid[:, None]
+        return jnp.where(ok, jnp.log(jnp.where(ok, p, 1.0)), 0.0).sum()
+
     def _resample_engine_rows(self, key, state_old, clusters_new, obj_idx, valid,
                               i_fwd, i_back, share_lh: bool, heat: bool,
                               hc_back_from_old: bool, counts) -> SourceResample:
@@ -449,11 +481,9 @@ class Conditionals:
         hc_conf_m = jnp.asarray(c.hc_conf)[obj_idx]      # (m, C-1)
         hc0_new = jnp.any(clusters_new[:, obj_idx], axis=0)
         hc_new_m = jnp.concatenate([hc0_new[:, None], hc_conf_m], axis=1)
-        if hc_back_from_old:
-            hc0_old = jnp.any(state_old.clusters[:, obj_idx], axis=0)
-            hc_back_m = jnp.concatenate([hc0_old[:, None], hc_conf_m], axis=1)
-        else:
-            hc_back_m = hc_new_m
+        hc0_old = jnp.any(state_old.clusters[:, obj_idx], axis=0)
+        hc_old_m = jnp.concatenate([hc0_old[:, None], hc_conf_m], axis=1)
+        hc_back_m = hc_old_m if hc_back_from_old else hc_new_m
 
         w_f = normalize_weights(state_old.weights, hc_new_m)   # (m, F, C)
         w_b = normalize_weights(state_old.weights, hc_back_m)
@@ -478,7 +508,13 @@ class Conditionals:
 
         log_q = self._rows_logp(p, new_rows, valid, na_m)
         log_q_back = self._rows_logp(p_back, src_rows_old, valid, na_m)
-        return SourceResample(source_new, log_q, log_q_back)
+        sp_delta = (
+            self.source_prior_rows_logp(state_old.weights, hc_new_m, new_rows,
+                                        valid, na_m)
+            - self.source_prior_rows_logp(state_old.weights, hc_old_m,
+                                          src_rows_old, valid, na_m)
+        )
+        return SourceResample(source_new, log_q, log_q_back, sp_delta)
 
     def gibbs_resample_source_rows(self, key, state_old, clusters_new, obj_idx,
                                    valid, i_cluster, counts) -> SourceResample:

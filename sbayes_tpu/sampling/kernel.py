@@ -64,20 +64,38 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
     T, Tp = cond.T, cond.Tp
     sfp = cond.sample_from_prior
 
-    from sbayes_tpu.sampling.state import PRIOR_SOURCE, PRIOR_WEIGHTS
+    from sbayes_tpu.sampling.state import PRIOR_GEO, PRIOR_SIZE, PRIOR_SOURCE, PRIOR_WEIGHTS
 
-    def evaluate_candidate(spec: OperatorSpec, old_state, cand):
+    def evaluate_candidate(spec: OperatorSpec, old_state, cand, sp_delta=None):
         """Posterior bookkeeping of the candidate, specialized to the terms
         the operator can actually change (static per branch). The candidate
         counts are the operator-maintained exact state counts
-        (ChainState.cl_counts/conf_counts) — no count-einsum recompute."""
+        (ChainState.cl_counts/conf_counts) — no count-einsum recompute.
+        ``sp_delta`` (OpResult.source_prior_delta) replaces the full
+        source-prior stream for subset moves: the carried value updates by
+        the exact O(m·F) delta (MH differences cancel the shared base)."""
         counts = (None if cand.cl_counts is None
                   else (cand.cl_counts, cand.conf_counts))
+
+        def candidate_source_prior():
+            if sp_delta is not None:
+                return old_state.prior_parts[PRIOR_SOURCE] + sp_delta
+            return post.source_prior(cand.clusters, cand.weights, cand.source)
+
         if spec.changes == "clusters":
-            parts = post.parts(cand, counts=counts)
-            ll = parts.log_lh
-            pp = jnp.stack(
-                [parts.size_prior, parts.geo_prior, parts.weights_prior, parts.source_prior]
+            if sfp:
+                ll = jnp.zeros((), jnp.float32)
+            elif counts is not None:
+                ll = post.log_likelihood_from_counts(*counts)
+            else:
+                ll = post.log_likelihood(cand)
+            # weights untouched by every cluster-changing operator: the
+            # weights prior carries over from the old state
+            pp = (
+                old_state.prior_parts
+                .at[PRIOR_SIZE].set(post.size_prior(cand.clusters))
+                .at[PRIOR_GEO].set(post.geo_prior_per_cluster(cand.clusters).sum())
+                .at[PRIOR_SOURCE].set(candidate_source_prior())
             )
         elif spec.changes == "source":
             # clusters & weights untouched: size/geo/weights priors carry over
@@ -87,8 +105,7 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
                 ll = post.log_likelihood_from_counts(*counts)
             else:
                 ll = post.log_likelihood(cand)
-            sp = post.source_prior(cand.clusters, cand.weights, cand.source)
-            pp = old_state.prior_parts.at[PRIOR_SOURCE].set(sp)
+            pp = old_state.prior_parts.at[PRIOR_SOURCE].set(candidate_source_prior())
         elif spec.changes == "weights":
             # the collapsed likelihood does not involve the weights
             ll = old_state.log_lh
@@ -103,7 +120,8 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
         def branch(key, state):
             k_prop, k_u = jax.random.split(key)
             res = spec.fn(k_prop, state)
-            cand = evaluate_candidate(spec, state, res.state)
+            cand = evaluate_candidate(spec, state, res.state,
+                                      sp_delta=res.source_prior_delta)
 
             gibbs = jnp.isneginf(res.log_q)
             direct_reject = jnp.isneginf(res.log_q_back)

@@ -45,12 +45,21 @@ class OpResult(NamedTuple):
     log_q: jnp.ndarray
     log_q_back: jnp.ndarray
     step_size: jnp.ndarray  # operator-specific step size (for stats)
+    # Exact source-prior delta of the move (None -> the MH kernel streams a
+    # full source_prior recompute). Subset moves compute it from their
+    # gathered rows in O(m·F); the carried log-prior then updates by +delta
+    # (differences in the MH ratio stay exact — the shared base cancels;
+    # logged per-sample values are full recomputes via the sample view).
+    source_prior_delta: jnp.ndarray = None
 
 
-def _reject(state) -> "OpResult":
+def _reject(state, with_delta: bool = False) -> "OpResult":
+    """Forced-reject result; ``with_delta`` must match the paired accept
+    branch's OpResult structure (delta array vs None)."""
     z = jnp.float32
     return OpResult(state, jnp.asarray(Q_REJECT, z), jnp.asarray(-jnp.inf, z),
-                    jnp.asarray(0.0, z))
+                    jnp.asarray(0.0, z),
+                    jnp.asarray(0.0, z) if with_delta else None)
 
 
 def _select_result(pred, a: OpResult, b: OpResult) -> OpResult:
@@ -180,9 +189,25 @@ class OperatorFactory:
             weights_t = state.weights
             cl_counts_t, conf_counts_t = cl_counts, conf_counts
 
+        # Static per-object group index of each confounder (objects belong
+        # to at most one group; index 0 is harmless for group-less objects,
+        # their mixture weight is 0). Hoisted: F-independent.
+        groups_arr = jnp.asarray(c.groups)
+        g_idx_conf = [jnp.argmax(groups_arr[i_c], axis=0) for i_c in range(c.C - 1)]
+        hc_f = hc.astype(jnp.float32)            # (N, C)
+        hc_flip_f = hc_flip.astype(jnp.float32)
+
         def slice_body(p_eff, feats_t, na_t, weights_t, cl_counts_t, conf_counts_t,
                        conc_cluster_t, conc_conf_t):
-            cluster_lh = jnp.einsum("fs,nfs->nf", p_eff.astype(feats_t.dtype), feats_t,
+            """Marginal mixture via the closed form
+                lh(n,f) = Σ_c wh[f,c]·avail[n,c]·lh_c[n,f] / Σ_c wh[f,c]·avail[n,c]
+            (normalize_weights + heating collapse to this: (w·m)^(1/Tp)
+            renormalized equals w^(1/Tp)·m renormalized for 0/1 masks m).
+            Only (N, f) temporaries — no (N, f, C) weight tensors, no wasted
+            component-0 likelihood (it is replaced by the proposal effect).
+            """
+            dtype = feats_t.dtype
+            cluster_lh = jnp.einsum("fs,nfs->nf", p_eff.astype(dtype), feats_t,
                                     preferred_element_type=jnp.float32)
             if heat_effect_lh:
                 # The wide operator's raw-probs variant heats the component-0
@@ -190,20 +215,27 @@ class OperatorFactory:
                 # compute_raw_cluster_probs, operators.py:1445 — absent from
                 # compute_cluster_posterior, operators.py:1055). No-op at T=1.
                 cluster_lh = jnp.maximum(cluster_lh, TINY) ** (1.0 / self.T)
+            lh_comps = [jnp.where(na_t, 1.0, cluster_lh)]
 
-            all_lh = cond.likelihood_per_component_slice(
-                state.clusters, cl_counts_t, conf_counts_t, feats_t, na_t,
-                conc_cluster_t, conc_conf_t,
-            )
-            all_lh = all_lh.at[:, :, 0].set(jnp.where(na_t, 1.0, cluster_lh))
+            conf_eff = normalize(conf_counts_t + conc_conf_t, axis=-1)  # (C-1,G,f,S)
+            for i_c in range(c.C - 1):
+                eff_rows = conf_eff[i_c][g_idx_conf[i_c]]               # (N, f, S)
+                lh_c = jnp.einsum("nfs,nfs->nf", eff_rows.astype(dtype), feats_t,
+                                  preferred_element_type=jnp.float32)
+                lh_comps.append(jnp.where(na_t, 1.0, lh_c))
 
-            w_cur = normalize(normalize_weights(weights_t, hc) ** (1.0 / self.Tp), axis=-1)
-            w_flip = normalize_weights(weights_t ** (1.0 / self.Tp), hc_flip)
-            w_with = jnp.where(in_cluster_now[:, None, None], w_cur, w_flip)
-            w_without = jnp.where(in_cluster_now[:, None, None], w_flip, w_cur)
+            wh = weights_t ** (1.0 / self.Tp)                           # (f, C)
+            z_cur = jnp.einsum("nc,fc->nf", hc_f, wh)
+            z_flip = jnp.einsum("nc,fc->nf", hc_flip_f, wh)
+            s_cur = sum(wh[None, :, ci] * hc_f[:, ci, None] * lh_comps[ci]
+                        for ci in range(c.C))
+            s_flip = sum(wh[None, :, ci] * hc_flip_f[:, ci, None] * lh_comps[ci]
+                         for ci in range(c.C))
+            lh_cur = s_cur / jnp.maximum(z_cur, TINY)
+            lh_flip = s_flip / jnp.maximum(z_flip, TINY)
 
-            lh_with = jnp.einsum("nfc,nfc->nf", all_lh, w_with)
-            lh_without = jnp.einsum("nfc,nfc->nf", all_lh, w_without)
+            lh_with = jnp.where(in_cluster_now[:, None], lh_cur, lh_flip)
+            lh_without = jnp.where(in_cluster_now[:, None], lh_flip, lh_cur)
             log_m1 = jnp.log(jnp.maximum(lh_with, TINY)).sum(-1)
             log_m0 = jnp.log(jnp.maximum(lh_without, TINY)).sum(-1)
             return log_m0, log_m1
@@ -377,8 +409,9 @@ class OperatorFactory:
             log_q_back = (
                 jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q_back + jnp.log(1 - p_grow)
             )
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
-            return _select_result(rejected, _reject(state), res)
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
+                           source_prior_delta=rs.source_prior_delta)
+            return _select_result(rejected, _reject(state, with_delta=True), res)
 
         def shrink(key, state, i_cluster, counts):
             k_obj, k_src = jax.random.split(key)
@@ -409,8 +442,9 @@ class OperatorFactory:
 
             log_q = jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q + jnp.log(1 - p_grow)
             log_q_back = jnp.log(jnp.maximum(p_add[obj], TINY)) + rs.log_q_back + jnp.log(p_grow)
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
-            return _select_result(rejected, _reject(state), res)
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
+                           source_prior_delta=rs.source_prior_delta)
+            return _select_result(rejected, _reject(state, with_delta=True), res)
 
         def op(key, state):
             k_c, k_g, k_branch = jax.random.split(key, 3)
@@ -606,14 +640,16 @@ class OperatorFactory:
             Feature-separable: tiles over F when consts.feature_chunk set."""
             c = consts
             hc = cond.post.has_components(state.clusters)
+            hc_f = hc.astype(jnp.float32)
             groups = jnp.asarray(c.groups)
+            g_idx_conf = [jnp.argmax(groups[i_c], axis=0) for i_c in range(c.C - 1)]
 
             def slice_logs(feats_t, na_t, weights_t, cl_counts_t, conf_counts_t,
                            conc_cluster_t, unif_t, conc_conf_t):
-                """Partial (N,) log-lh sums for stay/jump on one F-slice."""
-                w = normalize_weights(weights_t, hc)
-                w_heated = normalize(w ** (1.0 / self.Tp), axis=-1)
-                w_clust = w_heated[:, :, 0]  # (N, f)
+                """Partial (N,) log-lh sums for stay/jump on one F-slice,
+                via the closed-form weight mixture (see
+                _log_marginal_with_without) — only (N, f) temporaries."""
+                dtype = feats_t.dtype
 
                 def effect(i):
                     return conditional_effect_mean(
@@ -631,14 +667,21 @@ class OperatorFactory:
                     prior_temperature=self.Tp,
                     temperature=self.T,
                 )
-                p_conf = jnp.einsum("cgn,cgfs,nfc->nfs", groups, p_conf_eff,
-                                    w_heated[:, :, 1:])
+                wh = weights_t ** (1.0 / self.Tp)                      # (f, C)
+                z = jnp.einsum("nc,fc->nf", hc_f, wh)
+                s_conf = jnp.zeros_like(z)
+                for i_c in range(c.C - 1):
+                    eff_rows = p_conf_eff[i_c][g_idx_conf[i_c]]         # (N, f, S)
+                    lh_c = jnp.einsum("nfs,nfs->nf", eff_rows.astype(dtype), feats_t,
+                                      preferred_element_type=jnp.float32)
+                    s_conf = s_conf + wh[None, :, 1 + i_c] * hc_f[:, 1 + i_c, None] * lh_c
 
                 def log_marginal(p_clust):
-                    p_total = p_conf + w_clust[:, :, None] * p_clust[None]
-                    lh_f = jnp.einsum("nfs,nfs->nf", feats_t, p_total.astype(feats_t.dtype),
-                                      preferred_element_type=jnp.float32)
-                    return jnp.where(~na_t, jnp.log(jnp.maximum(lh_f, TINY)), 0.0).sum(-1)
+                    lh0 = jnp.einsum("fs,nfs->nf", p_clust.astype(dtype), feats_t,
+                                     preferred_element_type=jnp.float32)
+                    mix = (s_conf + wh[None, :, 0] * hc_f[:, 0, None] * lh0) \
+                        / jnp.maximum(z, TINY)
+                    return jnp.where(~na_t, jnp.log(jnp.maximum(mix, TINY)), 0.0).sum(-1)
 
                 return log_marginal(effect(i_src)), log_marginal(effect(i_tgt))
 
@@ -718,8 +761,9 @@ class OperatorFactory:
 
             log_q = jnp.log(jnp.maximum(p_jump[obj], TINY)) + rs.log_q
             log_q_back = jnp.log(jnp.maximum(p_jump_back[obj], TINY)) + rs.log_q_back
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0))
-            return _select_result(rejected, _reject(state), res)
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
+                           source_prior_delta=rs.source_prior_delta)
+            return _select_result(rejected, _reject(state, with_delta=True), res)
 
         return op
 
@@ -789,11 +833,11 @@ class OperatorFactory:
             feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
             na_m = na[obj_idx]
             old_rows = state.source[obj_idx]
+            hc_conf_m = jnp.asarray(consts.hc_conf)[obj_idx]
+            hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)
+            hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
 
             if self.sample_from_prior:
-                hc_conf_m = jnp.asarray(consts.hc_conf)[obj_idx]
-                hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)
-                hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
                 w = normalize_weights(state.weights, hc_m) ** (1.0 / self.Tp)
                 p = normalize(w, axis=-1)
             else:
@@ -815,8 +859,15 @@ class OperatorFactory:
                                                     counts_new, obj_idx, feats_m, na_m)
             log_q_back = cond._rows_logp(p_back, old_rows, valid, na_m)
 
+            # clusters unchanged -> availability unchanged: exact O(m·F)
+            # source-prior delta for the MH kernel
+            sp_delta = (
+                cond.source_prior_rows_logp(state.weights, hc_m, new_rows, valid, na_m)
+                - cond.source_prior_rows_logp(state.weights, hc_m, old_rows, valid, na_m)
+            )
             step_size = ((new_rows ^ old_rows) & valid[:, None, None]).sum().astype(jnp.float32)
-            return OpResult(state_new, log_q, log_q_back, step_size)
+            return OpResult(state_new, log_q, log_q_back, step_size,
+                            source_prior_delta=sp_delta)
 
         def op_fused(key, state):
             k_draw = key

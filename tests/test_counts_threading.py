@@ -66,3 +66,11 @@ def test_counts_survive_a_kernel_chunk(setup):
     )
     np.testing.assert_array_equal(np.asarray(carry.state.cl_counts), np.asarray(cl))
     np.testing.assert_array_equal(np.asarray(carry.state.conf_counts), np.asarray(conf))
+    # carried prior decomposition (incl. delta-updated source prior) must
+    # track a full recompute
+    parts = jax.jit(cond.post.parts)(carry.state)
+    np.testing.assert_allclose(np.asarray(carry.state.prior_parts),
+                               np.asarray(parts.prior_vector()),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(float(carry.state.log_lh), float(parts.log_lh),
+                               rtol=1e-4, atol=1e-3)
