@@ -189,11 +189,10 @@ class OperatorFactory:
             weights_t = state.weights
             cl_counts_t, conf_counts_t = cl_counts, conf_counts
 
-        # Static per-object group index of each confounder (objects belong
-        # to at most one group; index 0 is harmless for group-less objects,
-        # their mixture weight is 0). Hoisted: F-independent.
+        # Per-object confounder effects come from a dense one-hot matmul
+        # over the (tiny) group axis — row-gathers by group index are slow
+        # on TPU. Hoisted: F-independent.
         groups_arr = jnp.asarray(c.groups)
-        g_idx_conf = [jnp.argmax(groups_arr[i_c], axis=0) for i_c in range(c.C - 1)]
         hc_f = hc.astype(jnp.float32)            # (N, C)
         hc_flip_f = hc_flip.astype(jnp.float32)
 
@@ -219,8 +218,9 @@ class OperatorFactory:
 
             conf_eff = normalize(conf_counts_t + conc_conf_t, axis=-1)  # (C-1,G,f,S)
             for i_c in range(c.C - 1):
-                eff_rows = conf_eff[i_c][g_idx_conf[i_c]]               # (N, f, S)
-                lh_c = jnp.einsum("nfs,nfs->nf", eff_rows.astype(dtype), feats_t,
+                eff_rows = jnp.einsum("gn,gfs->nfs", groups_arr[i_c],
+                                      conf_eff[i_c]).astype(dtype)      # (N, f, S)
+                lh_c = jnp.einsum("nfs,nfs->nf", eff_rows, feats_t,
                                   preferred_element_type=jnp.float32)
                 lh_comps.append(jnp.where(na_t, 1.0, lh_c))
 
@@ -642,7 +642,6 @@ class OperatorFactory:
             hc = cond.post.has_components(state.clusters)
             hc_f = hc.astype(jnp.float32)
             groups = jnp.asarray(c.groups)
-            g_idx_conf = [jnp.argmax(groups[i_c], axis=0) for i_c in range(c.C - 1)]
 
             def slice_logs(feats_t, na_t, weights_t, cl_counts_t, conf_counts_t,
                            conc_cluster_t, unif_t, conc_conf_t):
@@ -671,8 +670,9 @@ class OperatorFactory:
                 z = jnp.einsum("nc,fc->nf", hc_f, wh)
                 s_conf = jnp.zeros_like(z)
                 for i_c in range(c.C - 1):
-                    eff_rows = p_conf_eff[i_c][g_idx_conf[i_c]]         # (N, f, S)
-                    lh_c = jnp.einsum("nfs,nfs->nf", eff_rows.astype(dtype), feats_t,
+                    eff_rows = jnp.einsum("gn,gfs->nfs", groups[i_c],
+                                          p_conf_eff[i_c]).astype(dtype)  # (N, f, S)
+                    lh_c = jnp.einsum("nfs,nfs->nf", eff_rows, feats_t,
                                       preferred_element_type=jnp.float32)
                     s_conf = s_conf + wh[None, :, 1 + i_c] * hc_f[:, 1 + i_c, None] * lh_c
 
