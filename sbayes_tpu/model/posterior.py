@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import gammaln
 
 from sbayes_tpu.model.constants import ModelConstants
@@ -141,15 +142,15 @@ class Posterior:
             n_edges = outer.sum()
             max_e = jnp.where(outer > 0, cost, -jnp.inf).max()
         elif g.skeleton == "delaunay":
-            # TPU-native variant: edges of the global Delaunay graph inside
-            # the cluster (the reference recomputes a per-cluster Voronoi
-            # Rook graph, which is not expressible inside jit).
-            adj = jnp.asarray(self.consts.adjacency)
-            outer = (mask[:, None] & mask[None, :]) & adj
-            outer = outer.astype(dtype)
-            total = (cost * outer).sum()
-            n_edges = outer.sum()
-            max_e = jnp.where(outer > 0, cost, -jnp.inf).max()
+            # Exact reference semantics (prior.py:807-821): recompute the
+            # Delaunay graph of the CLUSTER's OWN points (the dual of the
+            # per-cluster Voronoi-Rook contiguity) per evaluation. The
+            # triangulation is data-dependent geometry — evaluated host-side
+            # via pure_callback with static (3,) outputs. Only configs with
+            # skeleton=delaunay pay the host round-trip.
+            total, n_edges, max_e = _delaunay_cluster_aggregate(
+                mask, np.asarray(self.consts.locations),
+                np.asarray(self.consts.cost_matrix))
         elif g.skeleton == "diameter":
             raise NotImplementedError("skeleton=diameter is not implemented (matches reference).")
         else:
@@ -288,6 +289,52 @@ class Posterior:
             log_lh=p.log_lh, log_prior=p.log_prior, prior_parts=p.prior_vector(),
             cl_counts=counts[0], conf_counts=counts[1],
         )
+
+
+def _delaunay_host(mask, locations, cost):
+    """Host-side per-cluster Delaunay skeleton aggregation.
+
+    Mirrors reference prior.py:807-821 (libpysal Voronoi + Rook = the
+    Delaunay graph of the cluster's points). Returns (total, n_edges,
+    max_edge) over the skeleton's edge costs; degenerate clusters
+    (<3 points or collinear) fall back to the complete graph, matching
+    the chain every triangulation of such point sets degenerates to.
+    """
+    import numpy as _np
+
+    mask = _np.asarray(mask)
+    idx = _np.flatnonzero(mask)
+    m = idx.size
+    if m < 2:
+        return _np.zeros(3, _np.float32)
+    sub_cost = _np.asarray(cost)[_np.ix_(idx, idx)]
+    if m == 2:
+        e = float(sub_cost[0, 1])
+        return _np.asarray([e, 1.0, e], _np.float32)
+    try:
+        from sbayes_tpu.data.geo import compute_delaunay
+
+        adj = compute_delaunay(_np.asarray(locations)[idx]).toarray() > 0
+        _np.fill_diagonal(adj, False)
+        iu = _np.triu(adj)
+    except Exception:
+        iu = _np.triu(_np.ones((m, m), bool), k=1)
+    edges = sub_cost[iu]
+    if edges.size == 0:
+        iu = _np.triu(_np.ones((m, m), bool), k=1)
+        edges = sub_cost[iu]
+    return _np.asarray([edges.sum(), float(edges.size), edges.max()], _np.float32)
+
+
+def _delaunay_cluster_aggregate(mask, locations_np, cost_np):
+    """jittable wrapper: (N,) bool mask -> (total, n_edges, max_edge)."""
+    out = jax.pure_callback(
+        lambda mk: _delaunay_host(mk, locations_np, cost_np),
+        jax.ShapeDtypeStruct((3,), jnp.float32),
+        mask,
+        vmap_method="sequential",
+    )
+    return out[0], out[1], out[2]
 
 
 def _simulated_sigmoid(total_distance, n):

@@ -120,3 +120,34 @@ def test_geo_prior_complete_graph_skeleton(base):
         sub = cost[np.ix_(mask, mask)]
         want.append(-sub.mean() / 1e6)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_geo_prior_delaunay_skeleton(base):
+    """skeleton=delaunay recomputes the per-cluster Delaunay graph
+    (reference prior.py:807-821) — validated against a direct scipy
+    computation on the cluster's points."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial import Delaunay
+
+    model, state = base
+    post = _posterior_with(model.consts, prior_type="cost_based",
+                           probability_function="exponential",
+                           aggregation="sum", skeleton="delaunay", scale=1e5)
+    vals = jax.jit(post.geo_prior_per_cluster)(state.clusters)
+
+    locs = np.asarray(model.consts.locations)
+    cost = np.asarray(model.consts.cost_matrix)
+    for k in range(state.clusters.shape[0]):
+        mask = np.asarray(state.clusters[k])
+        idx = np.flatnonzero(mask)
+        tri = Delaunay(locs[idx])
+        edges = set()
+        for simplex in tri.simplices:
+            for a in range(3):
+                for b in range(a + 1, 3):
+                    edges.add(tuple(sorted((simplex[a], simplex[b]))))
+        total = sum(cost[idx[a], idx[b]] for a, b in edges)
+        np.testing.assert_allclose(float(vals[k]), -total / 1e5, rtol=1e-5)
