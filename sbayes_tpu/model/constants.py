@@ -149,6 +149,13 @@ class ModelConstants:
     # at scale (the 10k x 5k workload). None = fully fused (small models).
     feature_chunk: Optional[int] = None
 
+    # Pre-tiled state-major feature layout for the Pallas fused marginal
+    # kernel (ops/pallas_marginal.py): feats_tl (N, T*S*fc) in the feature
+    # dtype and na_tl (N, F) bf16 (1 = NA). None when the kernel is
+    # disabled (small models / env off).
+    features_tl: Any = None
+    na_tl: Any = None
+
     # misc
     dtype: Any = np.float32
 
@@ -301,6 +308,26 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
     feature_chunk = auto_feature_chunk(N, F)
     feat_dtype = auto_feature_dtype(N, F)
 
+    # Pre-tiled layout for the Pallas fused marginal kernel. Enabled for
+    # feature-tiled (large) models; env override SBAYES_TPU_PALLAS_MARGINAL
+    # (1/0). Costs one extra resident copy of the features (+na).
+    features_tl = na_tl = None
+    import os as _os
+
+    _pm_env = _os.environ.get("SBAYES_TPU_PALLAS_MARGINAL")
+    _pm_on = (_pm_env == "1") if _pm_env is not None else False
+    if feature_chunk is not None and _pm_on:
+        from sbayes_tpu.ops.pallas_marginal import (
+            na_layout_host, pick_row_block, tile_layout_host,
+        )
+
+        if pick_row_block(N) is not None:
+            features_tl = jnp.asarray(
+                tile_layout_host(features.values, S), dtype=feat_dtype
+            )
+            na_tl = jnp.asarray(na_layout_host(features.na_values),
+                                dtype=jnp.bfloat16)
+
     return ModelConstants(
         shapes=shapes,
         # bool -> target dtype directly (no f32 intermediate: at 10k x 5k
@@ -328,6 +355,8 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
         min_size=int(sp_cfg.min),
         max_size=int(min(sp_cfg.max, N)),
         feature_chunk=feature_chunk,
+        features_tl=features_tl,
+        na_tl=na_tl,
     )
 
 
@@ -344,6 +373,7 @@ _MC_ARRAY_FIELDS = (
     "features", "na", "applicable", "n_states_per_feature", "groups",
     "group_valid", "hc_conf", "conc_cluster", "unif_conc", "conc_conf",
     "conc_weights", "cost_matrix", "adjacency", "locations",
+    "features_tl", "na_tl",
 )
 _MC_STATIC_FIELDS = (
     "shapes", "conf_names", "group_names", "n_groups", "weights_prior_uniform",

@@ -1,0 +1,229 @@
+"""Pallas TPU kernel: fused cluster-membership marginal mixture.
+
+The gibbsish operators' hot math (`OperatorFactory._log_marginal_with_without`,
+reference operators.py:1035-1095) evaluates, for every object n:
+
+    log_m[n] = sum_f log( sum_c wh[f,c]*avail[n,c]*lh_c[n,f]
+                          / sum_c wh[f,c]*avail[n,c] )
+
+with lh_0 the proposal-cluster-effect likelihood and lh_c per-object
+confounder-group effects. The XLA path streams the feature tensor ~3x and
+spills ~(N,F) f32 temporaries per tile; this kernel computes the whole
+mixture in VMEM in ONE pass over the features — the HBM-bound optimum.
+
+Mosaic constraints shape the design (cf. ops/pallas_kernels.py): no 3-D
+vector ops and 128-aligned block lanes, so the feature tensor is
+pre-laid-out host-side as 2-D tiles of FCP=512 features with STATE-MAJOR
+contiguous chunks:
+
+    feats_tl[n, t*S*FCP + s*FCP + j] = features[n, t*FCP + j, s]
+
+so the in-kernel state reduction is S static column-slice adds. Features
+are padded up to a multiple of FCP with (na=1, wh=1) entries whose mixture
+is exactly 1 (log contribution 0). Per-object confounder effects expand
+via an MXU matmul against the one-hot group matrix; both availability
+patterns (current / cluster-flipped) are mixed in the same pass.
+
+Outputs: (N, 2) partial log-marginals [without, with], accumulated over
+the feature-tile grid axis.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TINY = 1e-35
+FCP = 512  # features per kernel tile (lane dim S*FCP and FCP both %128)
+
+
+def _n_tiles(F):
+    return -(-F // FCP)
+
+
+def tile_layout_host(x, S):
+    """(N, F, S) -> (N, T*S*FCP) state-major padded tiles (host, numpy)."""
+    x = np.asarray(x)
+    n, F, S_ = x.shape
+    assert S_ == S
+    t = _n_tiles(F)
+    xp = np.zeros((n, t * FCP, S), dtype=np.float32)
+    xp[:, :F] = x
+    return np.ascontiguousarray(
+        xp.reshape(n, t, FCP, S).transpose(0, 1, 3, 2).reshape(n, t * S * FCP)
+    )
+
+
+def na_layout_host(na):
+    """(N, F) bool -> (N, T*FCP) f32, padded features marked NA."""
+    na = np.asarray(na, bool)
+    n, F = na.shape
+    t = _n_tiles(F)
+    out = np.ones((n, t * FCP), np.float32)
+    out[:, :F] = na.astype(np.float32)
+    return out
+
+
+def tile_layout_eff(eff, F):
+    """Device-side: (..., F, S) -> (..., T*S*FCP) matching tile_layout_host."""
+    *lead, F_, S = eff.shape
+    t = _n_tiles(F)
+    pad = t * FCP - F
+    eff = jnp.pad(eff, [(0, 0)] * len(lead) + [(0, pad), (0, 0)])
+    return (
+        eff.reshape(*lead, t, FCP, S)
+        .swapaxes(-1, -2)
+        .reshape(*lead, t * S * FCP)
+    )
+
+
+def wh_layout(wh, F):
+    """(C, F) -> (C, T*FCP), padded features get weight 1 (so their
+    mixture is exactly 1 and the log contribution is 0)."""
+    C, F_ = wh.shape
+    pad = _n_tiles(F) * FCP - F
+    return jnp.pad(wh, ((0, 0), (0, pad)), constant_values=1.0)
+
+
+def _marginal_kernel(
+    invT_ref,        # (1, 1) f32 SMEM: extra heating exponent for lh0 (1.0 = none)
+    feats_ref,       # (nb, S*FCP) bf16/f32 tile (state-major chunks)
+    na_ref,          # (nb, FCP) f32 (1 = NA)
+    peff_ref,        # (1, S*FCP) f32 proposal cluster effect, tiled layout
+    wh_ref,          # (C, FCP) f32 heated weights tile
+    hc_ref,          # (nb, C) f32 current availability
+    hcf_ref,         # (nb, C) f32 flipped availability
+    incl_ref,        # (nb, 1) f32 1 = object currently in the cluster
+    *rest,
+    S, C, n_conf,
+):
+    group_refs = rest[:n_conf]           # (nb, G) f32 each
+    ceff_refs = rest[n_conf:2 * n_conf]  # (G, S*FCP) f32 each
+    out_ref = rest[2 * n_conf]           # (nb, 2) f32
+
+    j = pl.program_id(1)
+
+    feats = feats_ref[...].astype(jnp.float32)      # (nb, S*FCP)
+    na = na_ref[...].astype(jnp.float32)            # (nb, FCP)
+    not_na = 1.0 - na
+
+    def state_sum(x):
+        acc = x[:, 0:FCP]
+        for s in range(1, S):
+            acc = acc + x[:, s * FCP:(s + 1) * FCP]
+        return acc
+
+    # component-0: proposal cluster effect (+ optional extra heating)
+    lh0 = state_sum(feats * peff_ref[...])
+    invT = invT_ref[0, 0]
+    lh0 = jnp.exp(jnp.log(jnp.maximum(lh0, TINY)) * invT)
+    lh0 = lh0 * not_na + na
+
+    wh = wh_ref[...]                                # (C, FCP)
+    hc = hc_ref[...]                                # (nb, C)
+    hcf = hcf_ref[...]
+    s_cur = (hc[:, 0:1] * lh0) * wh[0:1, :]
+    s_flip = (hcf[:, 0:1] * lh0) * wh[0:1, :]
+
+    for i_c in range(n_conf):
+        eff = jnp.dot(group_refs[i_c][...], ceff_refs[i_c][...],
+                      preferred_element_type=jnp.float32)   # (nb, S*FCP)
+        lh_c = state_sum(feats * eff)
+        lh_c = lh_c * not_na + na
+        s_cur = s_cur + (hc[:, 1 + i_c:2 + i_c] * lh_c) * wh[1 + i_c:2 + i_c, :]
+        s_flip = s_flip + (hcf[:, 1 + i_c:2 + i_c] * lh_c) * wh[1 + i_c:2 + i_c, :]
+
+    z_cur = jnp.dot(hc, wh, preferred_element_type=jnp.float32)     # (nb, FCP)
+    z_flip = jnp.dot(hcf, wh, preferred_element_type=jnp.float32)
+    lh_cur = s_cur / jnp.maximum(z_cur, TINY)
+    lh_flip = s_flip / jnp.maximum(z_flip, TINY)
+
+    incl = incl_ref[...]                            # (nb, 1)
+    lh_with = incl * lh_cur + (1.0 - incl) * lh_flip
+    lh_without = incl * lh_flip + (1.0 - incl) * lh_cur
+
+    pm1 = jnp.sum(jnp.log(jnp.maximum(lh_with, TINY)), axis=1, keepdims=True)
+    pm0 = jnp.sum(jnp.log(jnp.maximum(lh_without, TINY)), axis=1, keepdims=True)
+    pm = jnp.concatenate([pm0, pm1], axis=1)        # (nb, 2)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = pm
+
+    @pl.when(j > 0)
+    def _acc():
+        out_ref[...] = out_ref[...] + pm
+
+
+def pick_row_block(n: int, target: int = 448):
+    """Largest divisor of n that is <= target and a multiple of 8 (or n
+    itself when n is small)."""
+    best = None
+    for d in range(1, n + 1):
+        if n % d == 0 and d <= target and d % 8 == 0:
+            best = d
+    if best is None:
+        best = n if n <= target else None
+    return best
+
+
+def make_pallas_marginal(consts, interpret: bool = False):
+    """Build ``marginal(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl,
+    invT) -> (log_m0, log_m1)`` over the pre-tiled resident feature
+    layout. Returns None when unavailable (no layout / bad shapes)."""
+    if getattr(consts, "features_tl", None) is None:
+        return None
+    N, F, S, C = consts.N, consts.F, consts.S, consts.C
+    n_conf = C - 1
+    G = consts.Gmax
+    nb = pick_row_block(N)
+    if nb is None:
+        return None
+    t = _n_tiles(F)
+
+    kernel = functools.partial(_marginal_kernel, S=S, C=C, n_conf=n_conf)
+
+    def marginal(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT):
+        """p_eff_tl: (1, T*S*FCP) f32; wh_tl: (C, T*FCP) f32 (heated,
+        padded with 1s); hc/hc_flip: (N, C) f32; incl: (N, 1) f32;
+        conf_eff_tl: (C-1, G, T*S*FCP) f32; invT: scalar f32."""
+        feats_tl = jnp.asarray(consts.features_tl)
+        na_tl = jnp.asarray(consts.na_tl)
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # invT
+            pl.BlockSpec((nb, S * FCP), lambda i, j: (i, j)),           # feats
+            pl.BlockSpec((nb, FCP), lambda i, j: (i, j)),               # na
+            pl.BlockSpec((1, S * FCP), lambda i, j: (0, j)),            # p_eff
+            pl.BlockSpec((C, FCP), lambda i, j: (0, j)),                # wh
+            pl.BlockSpec((nb, C), lambda i, j: (i, 0)),                 # hc
+            pl.BlockSpec((nb, C), lambda i, j: (i, 0)),                 # hc_flip
+            pl.BlockSpec((nb, 1), lambda i, j: (i, 0)),                 # incl
+        ]
+        args = [invT.reshape(1, 1), feats_tl, na_tl, p_eff_tl,
+                wh_tl, hc, hc_flip, incl]
+        for i_c in range(n_conf):
+            in_specs.append(pl.BlockSpec((nb, G), lambda i, j: (i, 0)))
+            args.append(jnp.asarray(consts.groups[i_c]).T)
+        for i_c in range(n_conf):
+            in_specs.append(pl.BlockSpec((G, S * FCP), lambda i, j: (0, j)))
+            args.append(conf_eff_tl[i_c])
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(N // nb, t),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((nb, 2), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((N, 2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args)
+        return out[:, 0], out[:, 1]
+
+    return marginal

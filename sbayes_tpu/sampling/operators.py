@@ -88,6 +88,17 @@ class OperatorFactory:
         self.Tp = cond.Tp
         self.sample_from_prior = cond.sample_from_prior
         self.p_grow = p_grow
+        self._pm_cache = False  # lazily built pallas marginal (False = unset)
+
+    @property
+    def _pallas_marginal(self):
+        if self._pm_cache is False:
+            from sbayes_tpu.ops.pallas_marginal import make_pallas_marginal
+
+            import os
+            interp = os.environ.get("SBAYES_TPU_PALLAS_INTERPRET") == "1"
+            self._pm_cache = make_pallas_marginal(self.consts, interpret=interp)
+        return self._pm_cache
 
     # ==================================================================
     # Shared cluster-posterior math
@@ -178,6 +189,27 @@ class OperatorFactory:
 
         fc = c.feature_chunk
         chunked = fc is not None and fc < c.F and effect_proposal == "gibbs"
+
+        # Pallas fused path (ops/pallas_marginal.py): one VMEM pass over
+        # the pre-tiled feature layout — enabled when consts carry it.
+        if chunked and self._pallas_marginal is not None:
+            from sbayes_tpu.ops.pallas_marginal import tile_layout_eff, wh_layout
+
+            unif = jnp.asarray(c.unif_conc)
+            p_eff = normalize(
+                unif + (jnp.asarray(c.conc_cluster) - unif) / self.Tp
+                + cl_counts[i_cluster] / self.T, axis=-1)               # (F, S)
+            conf_eff = normalize(conf_counts + jnp.asarray(c.conc_conf), axis=-1)
+            p_eff_tl = tile_layout_eff(p_eff, c.F).reshape(1, -1)
+            conf_eff_tl = tile_layout_eff(conf_eff, c.F)                # (C-1,G,TSFcp)
+            wh_tl = wh_layout((state.weights ** (1.0 / self.Tp)).T, c.F)
+            invT = (1.0 / self.T) * jnp.ones((), jnp.float32) if heat_effect_lh \
+                else jnp.ones((), jnp.float32)
+            m0, m1 = self._pallas_marginal(
+                p_eff_tl, wh_tl, hc.astype(jnp.float32), hc_flip.astype(jnp.float32),
+                in_cluster_now.astype(jnp.float32)[:, None], conf_eff_tl, invT,
+            )
+            return m0 / self.T, m1 / self.T
 
         if not chunked:
             feats = jnp.asarray(c.features)

@@ -1,0 +1,57 @@
+"""Pallas fused marginal kernel vs the XLA closed-form path (interpret
+mode on CPU; the real-TPU compile is exercised by the benchmark probes)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    os.environ["SBAYES_TPU_FEATURE_CHUNK"] = "4"
+    os.environ["SBAYES_TPU_PALLAS_MARGINAL"] = "1"
+    os.environ["SBAYES_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        from sbayes_tpu.model.model import Model
+        from sbayes_tpu.model.posterior import Posterior
+        from sbayes_tpu.sampling.conditionals import Conditionals
+        from sbayes_tpu.sampling.operators import OperatorFactory
+        from sbayes_tpu.sampling.prior_sampling import generate_prior_sample
+        from sbayes_tpu.testing import synthetic_config, synthetic_data
+
+        data = synthetic_data(n_objects=48, n_features=8, n_states=3,
+                              n_families=2, seed=5)
+        config = synthetic_config(n_clusters=2, geo_prior="uniform")
+        model = Model(data, config.model)
+        assert model.consts.feature_chunk == 4
+        assert model.consts.features_tl is not None, "pallas layout not built"
+        cond = Conditionals(Posterior(model.consts), 1.2, 1.5)
+        fact = OperatorFactory(cond)
+        state = generate_prior_sample(jax.random.PRNGKey(4), cond)
+        state = cond.post.fill_state(state)
+        yield model, cond, fact, state
+    finally:
+        os.environ.pop("SBAYES_TPU_FEATURE_CHUNK", None)
+        os.environ.pop("SBAYES_TPU_PALLAS_MARGINAL", None)
+        os.environ.pop("SBAYES_TPU_PALLAS_INTERPRET", None)
+
+
+@pytest.mark.parametrize("heat", [False, True])
+def test_pallas_marginal_matches_xla(setup, heat):
+    model, cond, fact, state = setup
+    assert fact._pallas_marginal is not None
+    avail = jnp.ones(model.consts.N, bool)
+    counts = (state.cl_counts, state.conf_counts)
+
+    m0, m1 = fact._log_marginal_with_without(state, 1, avail, counts=counts,
+                                             heat_effect_lh=heat)
+    # reference: the XLA closed-form path (pallas disabled)
+    fact._pm_cache = None
+    x0, x1 = fact._log_marginal_with_without(state, 1, avail, counts=counts,
+                                             heat_effect_lh=heat)
+    fact._pm_cache = False
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(x0), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(x1), rtol=2e-4, atol=2e-4)
