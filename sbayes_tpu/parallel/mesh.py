@@ -46,6 +46,30 @@ def data_mesh(n_chain_shards: int, n_data_shards: int, devices=None) -> Mesh:
     return Mesh(devices, (CHAIN_AXIS, DATA_AXIS))
 
 
+def auto_chain_mesh(n_chains: int, devices=None) -> Optional[Mesh]:
+    """The production auto-sharding policy (reference counterpart: the CLI
+    process pool, sbayes/cli.py:104-109, and one-process-per-MC3-chain,
+    mcmc_setup.py:274-282 — here one SPMD program over the chain axis).
+
+    Returns a 1-D 'chains' mesh over ALL devices when the chain count
+    splits evenly, else None (no sharding). Partial-device meshes are
+    deliberately not used: model constants replicate over every device
+    once, and a later program on a device *subset* would then see
+    incompatible placements (jax rejects mixed device sets).
+    Kill switch: SBAYES_TPU_SHARDING=off.
+    """
+    import os
+
+    if os.environ.get("SBAYES_TPU_SHARDING", "").lower() in ("off", "0", "none"):
+        return None
+    if devices is None:
+        devices = jax.devices()
+    n_dev = len(devices)
+    if n_dev <= 1 or n_chains <= 1 or n_chains % n_dev != 0:
+        return None
+    return chain_mesh(n_dev, devices=devices)
+
+
 def shard_chain_batch(tree, mesh: Mesh):
     """Place a chain-batched PyTree so the leading axis is split over the
     mesh's chain axis. Works for ChainState, OperatorStats, key batches."""

