@@ -1,0 +1,139 @@
+"""Real-TPU probe for the Pallas fused marginal kernel (VERDICT r2 #1).
+
+    python benchmarks/pallas_marginal_probe.py small   # compile + parity + micro-bench
+    python benchmarks/pallas_marginal_probe.py scale   # 10k x 5k gibbsish branch on/off
+
+small: moderate shape, compiles the kernel on the real TPU, checks parity
+against the XLA closed-form path, and times both marginal evaluations.
+
+scale: builds the 10k x 5k model twice (kernel on / off) and reports the
+per-operator branch times (roofline-style), i.e. the end-to-end win.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def build(n_objects, n_features, pallas: bool, fc: int, large=False):
+    os.environ["SBAYES_TPU_FEATURE_CHUNK"] = str(fc)
+    os.environ["SBAYES_TPU_PALLAS_MARGINAL"] = "1" if pallas else "0"
+    from sbayes_tpu.model.model import Model
+    from sbayes_tpu.testing import synthetic_config
+
+    if large:
+        from sbayes_tpu.testing_scale import synthetic_data_large
+        data = synthetic_data_large(n_objects=n_objects, n_features=n_features,
+                                    n_states=5, n_families=10, seed=0,
+                                    cache_dir="/root/repo/.scale_cache")
+    else:
+        from sbayes_tpu.testing import synthetic_data
+        data = synthetic_data(n_objects=n_objects, n_features=n_features,
+                              n_states=5, n_families=10, seed=0)
+    config = synthetic_config(n_clusters=5, geo_prior="uniform")
+    config.model.prior.objects_per_cluster.min = 2
+    config.model.prior.objects_per_cluster.max = max(50, n_objects // 3)
+    return Model(data, config.model), config
+
+
+def probe_small(n_objects=1024, n_features=512, fc=128):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sbayes_tpu.model.posterior import Posterior
+    from sbayes_tpu.sampling.conditionals import Conditionals
+    from sbayes_tpu.sampling.operators import OperatorFactory
+    from sbayes_tpu.sampling.prior_sampling import generate_prior_sample
+
+    model, config = build(n_objects, n_features, pallas=True, fc=fc)
+    c = model.consts
+    assert c.features_tl is not None, "pallas layout not built"
+    cond = Conditionals(Posterior(c), 1.0, 1.0)
+    fact = OperatorFactory(cond)
+    state = generate_prior_sample(jax.random.PRNGKey(0), cond)
+    state = cond.post.fill_state(state)
+    counts = (state.cl_counts, state.conf_counts)
+
+    def run_pallas(state):
+        return fact._log_marginal_with_without(
+            state, 1, jnp.ones(c.N, bool), counts=counts)
+
+    t0 = time.perf_counter()
+    m0, m1 = jax.jit(run_pallas)(state)
+    jax.block_until_ready((m0, m1))
+    print(f"pallas compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    fact._pm_cache = None  # disable -> XLA tiled path
+    x0, x1 = jax.jit(run_pallas)(state)
+    jax.block_until_ready((x0, x1))
+    gap0 = float(jnp.max(jnp.abs(m0 - x0) / (jnp.abs(x0) + 1)))
+    gap1 = float(jnp.max(jnp.abs(m1 - x1) / (jnp.abs(x1) + 1)))
+    print(f"parity max rel gap: m0 {gap0:.2e}  m1 {gap1:.2e}", flush=True)
+    assert gap0 < 2e-4 and gap1 < 2e-4, "PARITY FAIL"
+
+    # timings
+    fact._pm_cache = False
+    jp = jax.jit(run_pallas)
+    jax.block_until_ready(jp(state))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = jp(state)
+    jax.block_until_ready(out)
+    t_pallas = (time.perf_counter() - t0) / 20
+
+    fact._pm_cache = None
+    jx = jax.jit(run_pallas)
+    jax.block_until_ready(jx(state))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = jx(state)
+    jax.block_until_ready(out)
+    t_xla = (time.perf_counter() - t0) / 20
+    print(f"marginal eval: pallas {t_pallas*1e3:.2f} ms  xla {t_xla*1e3:.2f} ms  "
+          f"speedup {t_xla/t_pallas:.2f}x", flush=True)
+
+
+def probe_scale(n_objects=10_000, n_features=5_000, n_chains=2):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sbayes_tpu.sampling.runner import SamplerRuntime
+
+    results = {}
+    for pallas in (True, False):
+        model, config = build(n_objects, n_features, pallas=pallas, fc=500, large=True)
+        cfg = config.mcmc.model_copy(update={
+            "initialization": config.mcmc.initialization.model_copy(update={
+                "attempts": 1, "em_steps": 2, "objects_per_cluster": 100,
+            })
+        })
+        rt = SamplerRuntime(model, cfg, sample_from_prior=False)
+        states = rt.init_chains(jax.random.PRNGKey(0), n_chains)
+        jax.block_until_ready(states.clusters)
+        keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
+        ones = jnp.ones(n_chains, jnp.float32)
+        t0 = time.perf_counter()
+        times = rt.measure_op_step_times(keys, states, ones, ones, n_steps=10)
+        print(f"pallas={pallas}: probe wall {time.perf_counter()-t0:.0f}s", flush=True)
+        for spec, t in zip(rt._op_specs_cold, times):
+            print(f"  {spec.name:40s} {t*1e3:8.2f} ms", flush=True)
+        w = np.asarray([s.weight for s in rt._op_specs_cold])
+        mean = float((w / w.sum() * times).sum())
+        print(f"  schedule-weighted mean: {mean*1e3:.2f} ms "
+              f"({1/mean:.1f} ensemble-steps/s)", flush=True)
+        results[pallas] = mean
+    print(f"\nend-to-end speedup from pallas marginal: "
+          f"{results[False]/results[True]:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "small"
+    if mode == "small":
+        probe_small(*[int(a) for a in sys.argv[2:]])
+    else:
+        probe_scale(*[int(a) for a in sys.argv[2:]])

@@ -314,8 +314,17 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
     features_tl = na_tl = None
     import os as _os
 
+    # Default ON for feature-tiled models on real TPU: measured 1.26x
+    # end-to-end at 10k x 5k (gibbsish branch 1.46x, wide 1.26x) with
+    # exact parity vs the XLA path — benchmarks/pallas_marginal_probe.py,
+    # round 3. Interpret-mode tests opt in explicitly on CPU.
     _pm_env = _os.environ.get("SBAYES_TPU_PALLAS_MARGINAL")
-    _pm_on = (_pm_env == "1") if _pm_env is not None else False
+    if _pm_env is not None:
+        _pm_on = _pm_env == "1"
+    else:
+        import jax as _jax
+
+        _pm_on = _jax.default_backend() not in ("cpu",)
     if feature_chunk is not None and _pm_on:
         from sbayes_tpu.ops.pallas_marginal import (
             na_layout_host, pick_row_block, tile_layout_host,
