@@ -323,6 +323,14 @@ class InitializationConfig(BaseConfig):
     initial_cluster_steps: bool = True
     """If true, apply an initial deterministic cluster step to each cluster."""
 
+    method: Literal["em", "seed_points", "random_growth"] = "em"
+    """Initial-cluster construction: 'em' = annealed EM soft clustering
+    (reference SbayesInitializer, initializers.py:93-169); 'seed_points' =
+    one random seed object per cluster (reference initialize_clusters,
+    initializers.py:336-351); 'random_growth' = adjacency-constrained
+    random growth to the initial size (reference grow_random_clusters,
+    initializers.py:353-442)."""
+
 
 class MC3Config(BaseConfig):
     """Metropolis-coupled MCMC (MC3 / parallel tempering) parameters."""

@@ -115,6 +115,81 @@ class Posterior:
             return -jnp.sum(jnp.log(sizes**2))
         raise ValueError(f"Unknown size prior type {c.size_prior_type}")
 
+    # ---------------- geo prior ----------------
+    #
+    # The skeleton aggregate of each cluster is pure function of its
+    # membership mask, so it can be CARRIED in the chain state
+    # (ChainState.geo_agg, (K, 3) = [total, n_edges, max_edge]) and
+    # re-derived only for the cluster(s) an operator actually changed —
+    # one masked-Prim MST per step instead of K (eval) + 2 (proposal
+    # weighting). The carried triple is exact: it is recomputed (not
+    # delta-updated) for the changed cluster, matching the reference's
+    # per-changed-cluster recompute (prior.py:769-805) with the
+    # unchanged clusters' values cached — the compile-time analogue of
+    # the reference's per-cluster geo-prior cache.
+
+    @property
+    def carry_geo(self) -> bool:
+        """Whether states should carry per-cluster skeleton aggregates."""
+        return self.consts.geo.prior_type != "uniform"
+
+    def _geo_cost_matrix(self):
+        c = self.consts
+        cost = jnp.asarray(c.cost_matrix)
+        if c.geo.prior_type == "simulated":
+            cost = cost * (0.020838 / c.geo.mean_edge_length)
+        return cost
+
+    def skeleton_triple(self, mask):
+        """(3,) [total, n_edges, max_edge] of one cluster's skeleton."""
+        c = self.consts
+        g = c.geo
+        cost = self._geo_cost_matrix()
+        dtype = cost.dtype
+        skeleton = "mst" if g.prior_type == "simulated" else g.skeleton
+        if skeleton == "mst":
+            edges, count = cluster_mst_edge_costs(cost, mask)
+            return jnp.stack([edges.sum(), count.astype(dtype), edges.max()])
+        if skeleton == "complete_graph":
+            outer = (mask[:, None] & mask[None, :]).astype(dtype)
+            total = (cost * outer).sum()
+            n_edges = outer.sum()
+            max_e = jnp.where(outer > 0, cost, -jnp.inf).max()
+            return jnp.stack([total, n_edges, jnp.maximum(max_e, 0.0)])
+        if skeleton == "delaunay":
+            total, n_edges, max_e = _delaunay_cluster_aggregate(
+                mask, np.asarray(c.locations), np.asarray(c.cost_matrix))
+            return jnp.stack([total, n_edges, max_e])
+        raise ValueError(f"Unsupported skeleton for carried geo: {skeleton}")
+
+    def geo_agg_of(self, clusters):
+        """(K, 3) carried skeleton aggregates, or None when not carried."""
+        if not self.carry_geo:
+            return None
+        return jax.vmap(self.skeleton_triple)(clusters)
+
+    def _aggregate_of_triple(self, triple):
+        g = self.consts.geo
+        total, n_edges, max_e = triple[..., 0], triple[..., 1], triple[..., 2]
+        if g.aggregation == "sum":
+            return total
+        if g.aggregation == "mean":
+            return total / jnp.maximum(n_edges, 1.0)
+        if g.aggregation == "max":
+            return jnp.maximum(max_e, 0.0)
+        raise ValueError(f"Unknown aggregation {g.aggregation}")
+
+    def geo_prior_from_agg(self, clusters, geo_agg):
+        """(K,) geo-prior log-probs from carried aggregates (same math as
+        :meth:`geo_prior_per_cluster` without the skeleton recompute)."""
+        g = self.consts.geo
+        if g.prior_type == "cost_based":
+            return self._geo_probability_function(self._aggregate_of_triple(geo_agg))
+        if g.prior_type == "simulated":
+            n = clusters.sum(-1).astype(geo_agg.dtype)
+            return _simulated_sigmoid(geo_agg[:, 0], n)
+        raise ValueError(f"Unknown geo prior type {g.prior_type}")
+
     def _geo_probability_function(self, agg_cost):
         g = self.consts.geo
         if g.probability_function == "exponential":
@@ -185,11 +260,15 @@ class Posterior:
             return jax.vmap(one)(clusters)
         raise ValueError(f"Unknown geo prior type {g.prior_type}")
 
-    def geo_prior_costs_per_object(self, clusters, i_cluster):
+    def geo_prior_costs_per_object(self, clusters, i_cluster, geo_agg=None):
         """Delta log-geo-prior of adding each object to cluster ``i_cluster``.
 
         Reference: prior.py:824-852 ``get_costs_per_object``.
         Returns (N,) array of prob(after) - prob(before).
+
+        ``geo_agg`` may pass the state's carried (K, 3) skeleton
+        aggregates, replacing the in-place MST recompute (the reference
+        keeps the analogous per-cluster aggregate cached on the sample).
         """
         c = self.consts
         g = c.geo
@@ -202,8 +281,15 @@ class Posterior:
         m = cluster.sum().astype(dtype)
         cost_to_cluster = jnp.where(cluster[:, None], cost, jnp.inf).min(axis=0)
 
-        edges, count = cluster_mst_edge_costs(cost, cluster)
-        total = edges.sum()
+        # Carried aggregates are on the simulated-scaled cost matrix for
+        # prior_type=simulated; this proposal-weighting path matches the
+        # reference's unscaled-MST form, so only cost_based may reuse them.
+        if geo_agg is not None and g.prior_type == "cost_based" and g.skeleton == "mst":
+            total, count = geo_agg[i_cluster, 0], geo_agg[i_cluster, 1]
+            max_edge = geo_agg[i_cluster, 2]
+        else:
+            edges, count = cluster_mst_edge_costs(cost, cluster)
+            total, max_edge = edges.sum(), edges.max()
         if g.aggregation == "mean":
             aggr_before = total / jnp.maximum(count, 1).astype(dtype)
             aggr_after = (cost_to_cluster + m * aggr_before) / (1 + m)
@@ -211,7 +297,7 @@ class Posterior:
             aggr_before = total
             aggr_after = cost_to_cluster + aggr_before
         elif g.aggregation == "max":
-            aggr_before = edges.max()
+            aggr_before = max_edge
             aggr_after = jnp.maximum(cost_to_cluster, aggr_before)
         else:
             raise ValueError(f"Aggregation {g.aggregation} not implemented for costs-per-object.")
@@ -281,13 +367,14 @@ class Posterior:
 
     def fill_state(self, state):
         """Return the state with log_lh / log_prior / prior_parts AND the
-        carried sufficient-statistic counts filled (the counts invariant
-        every operator maintains incrementally from here on)."""
+        carried sufficient-statistic counts + geo aggregates filled (the
+        invariants every operator maintains incrementally from here on)."""
         counts = self.feature_counts(state.clusters, state.source)
         p = self.parts(state, counts=counts)
         return state._replace(
             log_lh=p.log_lh, log_prior=p.log_prior, prior_parts=p.prior_vector(),
             cl_counts=counts[0], conf_counts=counts[1],
+            geo_agg=self.geo_agg_of(state.clusters),
         )
 
 

@@ -630,6 +630,38 @@ class Conditionals:
                                 preferred_element_type=jnp.float32)
         return cl_counts + delta_cl, conf_counts + delta_conf
 
+    def delta_counts_rows_move(self, counts, clusters_old, clusters_new,
+                               obj_idx, valid, src_old_rows, src_new_rows,
+                               feats_m):
+        """Exact sufficient-statistic update for a multi-object cluster
+        move: subtract the gathered rows' old contribution (old membership,
+        old source) and add their new one (new membership, new source).
+        The rows version of ``OperatorFactory._delta_counts``; confounder
+        group assignments never change, so their delta involves only the
+        source rows."""
+        c = self.consts
+        cl_counts, conf_counts = counts
+        dtype = feats_m.dtype
+        sub = valid.astype(dtype)
+
+        old0 = src_old_rows[:, :, 0].astype(dtype)            # (m, F)
+        new0 = src_new_rows[:, :, 0].astype(dtype)
+        mem_old = clusters_old[:, obj_idx].astype(dtype) * sub[None, :]  # (K, m)
+        mem_new = clusters_new[:, obj_idx].astype(dtype) * sub[None, :]
+        delta_cl = (
+            jnp.einsum("km,mf,mfs->kfs", mem_new, new0, feats_m,
+                       preferred_element_type=jnp.float32)
+            - jnp.einsum("km,mf,mfs->kfs", mem_old, old0, feats_m,
+                         preferred_element_type=jnp.float32)
+        )
+
+        dc = (src_new_rows[:, :, 1:].astype(dtype)
+              - src_old_rows[:, :, 1:].astype(dtype))          # (m, F, C-1)
+        g_m = jnp.asarray(c.groups)[:, :, obj_idx].astype(dtype)
+        delta_conf = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, dc, feats_m,
+                                preferred_element_type=jnp.float32)
+        return cl_counts + delta_cl, conf_counts + delta_conf
+
     def source_posterior(self, clusters, weights, source, counts=None):
         """(N, F, C) posterior over component attributions given everything
         else (reference: GibbsSampleSource.calculate_source_posterior,

@@ -41,6 +41,7 @@ class Initializer:
         attempts: int,
         initial_cluster_steps: bool = True,
         n_em_steps: int = 50,
+        method: str = "em",
     ):
         self.cond = cond
         self.consts = cond.consts
@@ -48,6 +49,7 @@ class Initializer:
         self.attempts = int(attempts)
         self.initial_cluster_steps = bool(initial_cluster_steps)
         self.n_em_steps = int(n_em_steps)
+        self.method = str(method)
 
         self.factory = OperatorFactory(cond)
         self.full_source_op = self.factory.make_gibbs_sample_source("all", max_size=10**9)
@@ -145,6 +147,62 @@ class Initializer:
         z = lax.fori_loop(0, self.n_em_steps, em_step, z0)
         return self._discretize_fuzzy_clusters(z, total_size)
 
+    def generate_clusters_seed_points(self, key):
+        """Legacy 'seed point' initial clusters: one random object per
+        cluster (reference: initialize_clusters, initializers.py:336-351).
+        The subsequent ML cluster steps grow them to min_size+."""
+        c = self.consts
+        seeds = jax.random.permutation(key, c.N)[: c.K]          # distinct
+        return jnp.zeros((c.K, c.N), bool).at[jnp.arange(c.K), seeds].set(True)
+
+    def generate_clusters_random_growth(self, key):
+        """Legacy random-growth initial clusters: grow each cluster from a
+        random free seed through adjacency-constrained random grow steps up
+        to ``initial_size`` (reference: grow_random_clusters +
+        grow_cluster_of_size_k, initializers.py:353-442). Divergence from
+        the reference's host-side retry loop: a cluster that runs out of
+        free neighbours simply stops growing (stays smaller) instead of
+        restarting the whole initialization — inside jit a data-dependent
+        restart is not expressible, and the best-of-attempts selection
+        already covers unfavourable seeds."""
+        c = self.consts
+        adj = jnp.asarray(c.adjacency).astype(jnp.float32)
+        N, K = c.N, c.K
+        clusters = jnp.zeros((K, N), bool)
+        occupied = jnp.zeros(N, bool)
+
+        for i_c in range(K):
+            k_c = jax.random.fold_in(key, i_c)
+            k_seed, k_grow = jax.random.split(k_c)
+            free = ~occupied
+            logits = jnp.where(free, 0.0, -jnp.inf)
+            seed = jax.random.categorical(k_seed, logits)
+            cluster = jnp.zeros(N, bool).at[seed].set(True)
+            occupied = occupied.at[seed].set(True)
+
+            def body(j, carry):
+                cluster, occupied = carry
+                neigh = ((adj @ cluster.astype(jnp.float32)) > 0) & ~occupied
+                can_grow = jnp.any(neigh)
+                lg = jnp.where(neigh, 0.0, -jnp.inf)
+                pick = jax.random.categorical(jax.random.fold_in(k_grow, j),
+                                              jnp.where(can_grow, lg, 0.0))
+                cluster = cluster.at[pick].set(cluster[pick] | can_grow)
+                occupied = occupied.at[pick].set(occupied[pick] | can_grow)
+                return cluster, occupied
+
+            cluster, occupied = lax.fori_loop(0, self.initial_size - 1, body,
+                                              (cluster, occupied))
+            clusters = clusters.at[i_c].set(cluster)
+        return clusters
+
+    def generate_initial_clusters(self, key):
+        if self.method == "seed_points":
+            return self.generate_clusters_seed_points(key)
+        if self.method == "random_growth":
+            return self.generate_clusters_random_growth(key)
+        return self.generate_clusters_em(key)
+
     def _discretize_fuzzy_clusters(self, z, total_size):
         """Discretize soft assignments with a min-size guarantee
         (reference: initializers.py:186-209)."""
@@ -175,7 +233,7 @@ class Initializer:
         na = jnp.asarray(c.na)
         keys = jax.random.split(key, 8)
 
-        clusters = self.generate_clusters_em(keys[0])
+        clusters = self.generate_initial_clusters(keys[0])
         weights = jnp.full((c.F, c.C), 1.0 / c.C, jnp.float32)
 
         # Source from prior

@@ -91,10 +91,17 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
                 ll = post.log_likelihood(cand)
             # weights untouched by every cluster-changing operator: the
             # weights prior carries over from the old state
+            # Carried (K, 3) geo aggregates: the operator re-derived only
+            # its changed cluster's skeleton, so the geo prior is a cheap
+            # map over the triple instead of K fresh MSTs.
+            if cand.geo_agg is not None:
+                geo = post.geo_prior_from_agg(cand.clusters, cand.geo_agg).sum()
+            else:
+                geo = post.geo_prior_per_cluster(cand.clusters).sum()
             pp = (
                 old_state.prior_parts
                 .at[PRIOR_SIZE].set(post.size_prior(cand.clusters))
-                .at[PRIOR_GEO].set(post.geo_prior_per_cluster(cand.clusters).sum())
+                .at[PRIOR_GEO].set(geo)
                 .at[PRIOR_SOURCE].set(candidate_source_prior())
             )
         elif spec.changes == "source":

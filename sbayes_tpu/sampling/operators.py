@@ -20,6 +20,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.scipy.special import betaln
 
@@ -89,6 +90,19 @@ class OperatorFactory:
         self.sample_from_prior = cond.sample_from_prior
         self.p_grow = p_grow
         self._pm_cache = False  # lazily built pallas marginal (False = unset)
+        # Static cap on the wide operator's gathered changed set. Small
+        # models resample via rows at full width (no truncation); large
+        # ones bound the per-step source-resample work at O(cap * F)
+        # with symmetric auto-reject beyond the cap (see
+        # make_alter_cluster_wide). Env override: SBAYES_TPU_WIDE_ROWS_CAP.
+        import os
+
+        N = self.consts.N
+        cap_env = os.environ.get("SBAYES_TPU_WIDE_ROWS_CAP")
+        if cap_env is not None:
+            self.wide_rows_cap = min(N, int(cap_env))
+        else:
+            self.wide_rows_cap = N if N <= 1024 else max(512, N // 16)
 
     @property
     def _pallas_marginal(self):
@@ -320,7 +334,8 @@ class OperatorFactory:
             heat_effect_lh=heat_effect_lh,
         )
         if consider_geo:
-            geo = self.cond.post.geo_prior_costs_per_object(state.clusters, i_cluster)
+            geo = self.cond.post.geo_prior_costs_per_object(
+                state.clusters, i_cluster, geo_agg=state.geo_agg)
             log_m1 = log_m1 + geo / self.Tp / geo_scaler
 
         p = jax.nn.sigmoid(log_m1 - log_m0)
@@ -378,6 +393,16 @@ class OperatorFactory:
         conf = conf_counts + g_o[:, :, None, None] * (newc - oldc)[:, None]
         return cl, conf
 
+    def _update_geo(self, geo_agg, clusters_new, *changed_clusters):
+        """Re-derive the carried (K, 3) geo-skeleton aggregates for the
+        changed cluster indices only (exact recompute of the changed
+        rows; see ChainState.geo_agg). No-op when geo is not carried."""
+        if geo_agg is None:
+            return None
+        for i in changed_clusters:
+            geo_agg = geo_agg.at[i].set(self.cond.post.skeleton_triple(clusters_new[i]))
+        return geo_agg
+
     def _grow_candidates(self, clusters, i_cluster, neighbourhood: str):
         """Boolean growth-candidate mask (reference: operators.py:1097-1107)."""
         occ = self._occupied(clusters)
@@ -429,7 +454,10 @@ class OperatorFactory:
             counts_new = self._delta_counts(counts, obj, state.clusters, clusters_new,
                                             state.source[obj], rs.source[obj])
             state_new = self._put_counts(
-                state._replace(clusters=clusters_new, source=rs.source), counts_new)
+                state._replace(
+                    clusters=clusters_new, source=rs.source,
+                    geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster),
+                ), counts_new)
 
             # Backward: removal probability in the new state
             shrink_cand = clusters_new[i_cluster]
@@ -463,7 +491,10 @@ class OperatorFactory:
             counts_new = self._delta_counts(counts, obj, state.clusters, clusters_new,
                                             state.source[obj], rs.source[obj])
             state_new = self._put_counts(
-                state._replace(clusters=clusters_new, source=rs.source), counts_new)
+                state._replace(
+                    clusters=clusters_new, source=rs.source,
+                    geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster),
+                ), counts_new)
 
             # Backward: add probability in the new state
             grow_cand = self._grow_candidates(clusters_new, i_cluster, neighbourhood)
@@ -541,18 +572,127 @@ class OperatorFactory:
 
         return cluster_probs
 
+    def _make_em_cluster_probs(self, consider_geo: bool, w_stay: float,
+                               eps: float, n_em_steps: int = 10) -> Callable:
+        """Per-object Bernoulli proposal of AlterClusterEM (reference:
+        operators.py:1571-1665): soft-EM group responsibilities over
+        clusters + confounder groups with annealed temperature
+        ``(n_steps/(1+i))^2``, seeded with the Gibbs cluster-effect
+        proposal, then the same stay-mixture + expected-size rescale as
+        the wide operator. Behavioural parity note: the FIRST rescale
+        iteration divides by ``z.sum()`` (= N, the full responsibility
+        mass), exactly as the reference does (operators.py:1659-1668)."""
+        c = self.consts
+        N, K = c.N, c.K
+
+        # (K + total confounder groups, N) availability of each EM group
+        ga_rows = [jnp.ones((K, N), bool)]
+        groups_b = jnp.asarray(self.consts.groups).astype(bool)      # (C-1, Gmax, N)
+        gv_b = jnp.asarray(self.consts.group_valid).astype(bool)     # (C-1, Gmax)
+        for i_c in range(c.C - 1):
+            ga_rows.append(groups_b[i_c] & gv_b[i_c][:, None])
+        ga = jnp.concatenate(ga_rows, axis=0)              # (Gt, N)
+        Gt = ga.shape[0]
+        prior_counts = 0.5 * jnp.asarray(c.applicable, jnp.float32)  # (F, S)
+
+        def cluster_probs(state, i_cluster, avail, counts=None):
+            if self.sample_from_prior:
+                return jnp.where(avail, 0.5, 0.0)
+            cluster = state.clusters[i_cluster]
+            feats = jnp.asarray(c.features).astype(jnp.float32)     # (N, F, S)
+            na = jnp.asarray(c.na)
+            feats_filled = jnp.where(na[:, :, None], 1.0, feats)
+
+            cl_counts, conf_counts = (counts if counts is not None
+                                      else self._state_counts(state))
+            p_clust = self.cluster_effect_proposal_gibbs(
+                state, cl_counts, conf_counts, i_cluster)            # (F, S)
+
+            z0 = ga.astype(jnp.float32)
+            z0 = z0.at[:K].set(state.clusters.astype(jnp.float32))
+            z0 = z0.at[i_cluster].set(jnp.where(avail, 1.0, z0[i_cluster]))
+            z0 = z0 / jnp.maximum(z0.sum(0, keepdims=True), TINY)
+
+            cost = jnp.asarray(c.cost_matrix)
+
+            def em_step(i_step, z):
+                state_counts = jnp.einsum("gn,nfs->gfs", z, feats,
+                                          preferred_element_type=jnp.float32)
+                p = normalize(state_counts + prior_counts[None], axis=-1)
+                p = lax.cond(i_step == 0,
+                             lambda p: p.at[i_cluster].set(p_clust),
+                             lambda p: p, p)
+                # per-group, per-object log-likelihoods (log-space for
+                # stability; the reference's prod over features underflows
+                # benignly in float64, we don't have that luxury)
+                log_pw = jnp.einsum("gfs,nfs->gn", jnp.log(jnp.maximum(p, TINY)),
+                                    feats_filled, preferred_element_type=jnp.float32)
+                if consider_geo:
+                    z_peaky = jax.nn.softmax(N * z, axis=1)
+                    avg_dist = z_peaky @ cost                       # (Gt, N)
+                    geo_log = -avg_dist / c.geo.scale / 2.0
+                    geo_log = geo_log.at[K:].set(
+                        jnp.log(jnp.maximum(jnp.exp(geo_log[:K]).mean(0), TINY)))
+                else:
+                    geo_log = jnp.zeros((Gt, N), jnp.float32)
+                temperature = (n_em_steps / (1.0 + i_step)) ** 2
+                log_lh = geo_log + log_pw / temperature
+                log_lh = jnp.where(ga, log_lh, -jnp.inf)
+                log_lh = log_lh.at[i_cluster].set(
+                    jnp.where(avail, log_lh[i_cluster], -jnp.inf))
+                return jax.nn.softmax(log_lh, axis=0)
+
+            z = lax.fori_loop(0, n_em_steps, em_step, z0)
+
+            z_cl = jnp.where(avail, z[i_cluster], 0.0)
+            z_cl = z_cl / jnp.maximum(z_cl.sum(), TINY)
+            z_eps = (z_cl + eps) * avail
+            z_eps = z_eps / jnp.maximum(z_eps.sum(), TINY)
+            stay = (cluster & avail).astype(jnp.float32)
+            stay_n = stay / jnp.maximum(stay.sum(), TINY)
+            p = (1 - w_stay) * z_eps + w_stay * stay_n
+
+            old_size = (cluster & avail).sum().astype(jnp.float32)
+
+            def body(_, carry):
+                p, prev_exp, done = carry
+                p2 = jnp.clip(p * old_size / jnp.maximum(prev_exp, TINY),
+                              eps, 1 - eps) * avail
+                p2 = jnp.where(done, p, p2)
+                new_exp = p2.sum()
+                done2 = done | (new_exp > 0.975 * old_size)
+                return p2, new_exp, done2
+
+            # first division is by the TOTAL z mass (reference behavior)
+            p, _, _ = lax.fori_loop(0, 10, body,
+                                    (p, z.sum(), jnp.asarray(False)))
+            return jnp.where(avail, p, 0.0)
+
+        return cluster_probs
+
     def make_alter_cluster_wide(self, consider_geo: bool, w_stay: float = 0.15,
                                 eps: float = None, geo_scaler: float = 2.0,
-                                effect_proposal: str = "gibbs") -> Callable:
+                                effect_proposal: str = "gibbs",
+                                em_proposal: bool = False,
+                                n_em_steps: int = 10) -> Callable:
+        """The whole-membership resampling operator. ``em_proposal=True``
+        selects the AlterClusterEM proposal probabilities (reference
+        operators.py:1571-1665) instead of the collapsed-posterior wide
+        probabilities (reference operators.py:1382-1568); the MH/q-ratio
+        machinery is shared, as in the reference's class hierarchy."""
         cond = self.cond
         consts = self.consts
         K, N = consts.K, consts.N
         min_size, max_size = consts.min_size, consts.max_size
         if eps is None:
             eps = 0.01 / consts.N
-        cluster_probs = self._make_wide_cluster_probs(
-            consider_geo, w_stay, eps, geo_scaler, effect_proposal
-        )
+        if em_proposal:
+            cluster_probs = self._make_em_cluster_probs(
+                consider_geo, w_stay, eps, n_em_steps)
+        else:
+            cluster_probs = self._make_wide_cluster_probs(
+                consider_geo, w_stay, eps, geo_scaler, effect_proposal
+            )
 
         def op(key, state):
             k_c, k_draw, k_src = jax.random.split(key, 3)
@@ -593,13 +733,31 @@ class OperatorFactory:
 
             clusters_new = state.clusters.at[i_cluster].set(cluster_new)
             changed = cluster_old != cluster_new
-            rs = cond.gibbs_resample_source(k_src, state, clusters_new, changed, i_cluster,
-                                            conf_counts_full=counts[1])
-            # multi-object change: full recompute, shared by the backward
-            # probs AND (via the state counts) the MH kernel
-            counts_new = cond.post.feature_counts(clusters_new, rs.source)
+            m = changed.sum()
+            # Gathered-rows source resample + count deltas over the changed
+            # set (expected-bounded); proposals flipping more than the
+            # static cap auto-reject — a symmetric truncation (flip count
+            # is identical forward and backward), so plain MH on the
+            # restricted proposal stays exact. M >= N disables it.
+            M = self.wide_rows_cap
+            rejected = rejected | (m > M)
+            # fill_value=N (out of bounds): scatter updates at padded
+            # entries are dropped by XLA, so duplicate-index write
+            # conflicts with real rows cannot occur; gathers clamp and are
+            # masked by ``valid``.
+            obj_idx = jnp.nonzero(changed, size=M, fill_value=N)[0]
+            valid = jnp.arange(M) < m
+            rs = cond.gibbs_resample_source_rows(
+                k_src, state, clusters_new, obj_idx, valid, i_cluster, counts)
+            feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
+            counts_new = cond.delta_counts_rows_move(
+                counts, state.clusters, clusters_new, obj_idx, valid,
+                state.source[obj_idx], rs.source[obj_idx], feats_m)
             state_new = self._put_counts(
-                state._replace(clusters=clusters_new, source=rs.source), counts_new)
+                state._replace(
+                    clusters=clusters_new, source=rs.source,
+                    geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster),
+                ), counts_new)
 
             p_back = cluster_probs(state_new, i_cluster, avail, counts_new)
             qb_site = jnp.where(cluster_old, p_back, 1.0 - p_back)
@@ -613,8 +771,9 @@ class OperatorFactory:
                 log_q + rs.log_q,
                 log_q_back + rs.log_q_back,
                 changed.sum().astype(jnp.float32),
+                source_prior_delta=rs.source_prior_delta,
             )
-            return _select_result(rejected, _reject(state), res)
+            return _select_result(rejected, _reject(state, with_delta=True), res)
 
         return op
 
@@ -644,7 +803,9 @@ class OperatorFactory:
             clusters_new = state.clusters.at[i_cluster].set(cluster_new)
             changed = cluster_old != cluster_new
             rs = cond.gibbs_resample_source(key, state, clusters_new, changed, i_cluster)
-            state_new = state._replace(clusters=clusters_new, source=rs.source)
+            state_new = state._replace(
+                clusters=clusters_new, source=rs.source,
+                geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster))
             if state.cl_counts is not None:
                 # keep the carried-counts invariant through initializer steps
                 state_new = self._put_counts(
@@ -781,8 +942,10 @@ class OperatorFactory:
                 state.source[obj], rs.source[obj],
             )
             state_new = self._put_counts(
-                state._replace(clusters=clusters_new, source=rs.source),
-                (cl_counts2, conf_counts2))
+                state._replace(
+                    clusters=clusters_new, source=rs.source,
+                    geo_agg=self._update_geo(state.geo_agg, clusters_new, i_src, i_tgt),
+                ), (cl_counts2, conf_counts2))
             if gibbsish and not self.sample_from_prior:
                 pjb = jump_lh(state_new, cl_counts2, conf_counts2, i_tgt, i_src)
             else:
@@ -901,6 +1064,99 @@ class OperatorFactory:
             return OpResult(state_new, log_q, log_q_back, step_size,
                             source_prior_delta=sp_delta)
 
+        def op_rows_sweep(key, state):
+            """EXACT sequential Gibbs sweep over the gathered subset.
+
+            The reference's GibbsSampleSource draws all subset rows at once
+            from the full-counts posterior and force-accepts — an
+            approximation whose MH-corrected form (op_rows) collapses to
+            ~zero acceptance at large F (the 20-row x 5000-feature q-gap
+            concentrates; SCALE10K.md). This variant restores a TRUE Gibbs
+            move: objects are resampled one at a time from their exact
+            leave-self-out collapsed conditional (cells factor over
+            features for a single object), with carried-count deltas
+            between sub-steps — forced accept is exact at any scale.
+            Reference semantics heritage: calculate_source_posterior
+            (operators.py:554-574) scoring + the leave-subset-out counts
+            trick of component_likelihood_given_unchanged
+            (operators.py:863-928), composed per object.
+            """
+            k_sel, k_draw = jax.random.split(key)
+            counts_old = self._state_counts(state)
+            state = self._put_counts(state, counts_old)
+            obj_idx, valid = select_subset_idx(k_sel, state)
+            feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
+            na_m = na[obj_idx]                                  # (m, F)
+            old_rows = state.source[obj_idx]                    # (m, F, C)
+            hc_conf_m = jnp.asarray(consts.hc_conf)[obj_idx]    # (m, C-1)
+            hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)   # (m,)
+            hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
+            w_norm = normalize_weights(state.weights, hc_m)     # (m, F, C)
+            w_heat = w_norm ** (1.0 / self.Tp)
+
+            k_of = jnp.argmax(state.clusters[:, obj_idx], axis=0)        # (m,)
+            g_of = jnp.stack([
+                jnp.argmax(jnp.asarray(consts.groups)[c][:, obj_idx], axis=0)
+                for c in range(n_conf)
+            ]) if n_conf else jnp.zeros((0, k_cap), jnp.int32)           # (C-1, m)
+
+            conc_cluster = jnp.asarray(consts.conc_cluster)     # (F, S)
+            conc_conf = jnp.asarray(consts.conc_conf)           # (C-1, G, F, S)
+            keys_m = jax.random.split(k_draw, k_cap)
+
+            def body(carry, j):
+                cl_counts, conf_counts, rows = carry
+                f_o = feats_m[j]                                # (F, S)
+                row_old = rows[j].astype(jnp.float32)           # (F, C)
+                v = valid[j].astype(jnp.float32)
+                ko = k_of[j]
+                in_cl = hc0[j].astype(jnp.float32) * v
+
+                own0 = f_o * row_old[:, 0:1] * in_cl
+                eff0 = normalize(cl_counts[ko] - own0 + conc_cluster, axis=-1)
+                lh_c = [jnp.einsum("fs,fs->f", eff0, f_o,
+                                   preferred_element_type=jnp.float32)]
+                in_gs, gcs = [], []
+                for c in range(n_conf):
+                    gc = g_of[c, j]
+                    in_g = hc_conf_m[j, c].astype(jnp.float32) * v
+                    ownc = f_o * row_old[:, 1 + c:2 + c] * in_g
+                    effc = normalize(conf_counts[c, gc] - ownc + conc_conf[c, gc],
+                                     axis=-1)
+                    lh_c.append(jnp.einsum("fs,fs->f", effc, f_o,
+                                           preferred_element_type=jnp.float32))
+                    in_gs.append(in_g)
+                    gcs.append(gc)
+                lh = jnp.stack(lh_c, axis=-1)                   # (F, C)
+                lh = jnp.where(na_m[j][:, None], 1.0, lh)
+                p = normalize(lh ** (1.0 / self.T) * w_heat[j], axis=-1)
+
+                new_row = sample_categorical_onehot(keys_m[j], p) & ~na_m[j][:, None]
+                new_row = jnp.where(valid[j], new_row, rows[j])
+                nr = new_row.astype(jnp.float32)
+
+                d0 = f_o * (nr[:, 0:1] - row_old[:, 0:1]) * in_cl
+                cl_counts = cl_counts.at[ko].add(d0)
+                for c in range(n_conf):
+                    dc = f_o * (nr[:, 1 + c:2 + c] - row_old[:, 1 + c:2 + c]) * in_gs[c]
+                    conf_counts = conf_counts.at[c, gcs[c]].add(dc)
+                rows = rows.at[j].set(new_row)
+                return (cl_counts, conf_counts, rows), None
+
+            (cl_new, conf_new, new_rows), _ = lax.scan(
+                body, (counts_old[0], counts_old[1], old_rows), jnp.arange(k_cap))
+            source_new = state.source.at[obj_idx].set(new_rows)
+            state_new = self._put_counts(state._replace(source=source_new),
+                                         (cl_new, conf_new))
+
+            sp_delta = (
+                cond.source_prior_rows_logp(state.weights, hc_m, new_rows, valid, na_m)
+                - cond.source_prior_rows_logp(state.weights, hc_m, old_rows, valid, na_m)
+            )
+            step_size = ((new_rows ^ old_rows) & valid[:, None, None]).sum().astype(jnp.float32)
+            return OpResult(state_new, Q_GIBBS, Q_BACK_GIBBS, step_size,
+                            source_prior_delta=sp_delta)
+
         def op_fused(key, state):
             k_draw = key
             counts_old = self._state_counts(state)
@@ -987,7 +1243,25 @@ class OperatorFactory:
             return OpResult(state_new, log_q, log_q_back, step_size)
 
         if object_selector != "all":
-            return op_rows
+            # Two engines for the capped selectors:
+            #  * op_rows — one-shot MH-corrected draw (reference-shaped,
+            #    operators.py:423-579). Healthy acceptance at reference
+            #    scale; collapses to ~0 acceptance at large F (the
+            #    m x F q-gap concentrates, SCALE10K.md).
+            #  * op_rows_sweep — exact sequential leave-self-out Gibbs,
+            #    forced accept at any scale, but latency-bound (m
+            #    sequential sub-steps), so it only wins where the MH
+            #    version stops mixing.
+            # Policy: sweep at large F; env SBAYES_TPU_SOURCE_SWEEP=1/0
+            # forces either. Prior mode keeps the one-shot path (already
+            # exact there: the conditional factors completely).
+            import os
+
+            env = os.environ.get("SBAYES_TPU_SOURCE_SWEEP")
+            use_sweep = (consts.F >= 512) if env is None else env == "1"
+            if self.sample_from_prior or not use_sweep:
+                return op_rows
+            return op_rows_sweep
         fc = consts.feature_chunk
         return op_tiled if (fc is not None and fc < consts.F) else op_fused
 

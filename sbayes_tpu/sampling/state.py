@@ -44,6 +44,13 @@ class ChainState(NamedTuple):
     # ``Posterior.fill_state`` — every sampling path fills them first.
     cl_counts: jnp.ndarray = None    # f32 (K, F, S)
     conf_counts: jnp.ndarray = None  # f32 (C-1, Gmax, F, S)
+    # Carried per-cluster geo-skeleton aggregates (K, 3) = [total edge
+    # cost, n_edges, max_edge] — a pure function of ``clusters`` that
+    # operators re-derive only for the cluster(s) they change (one
+    # masked-Prim MST per step instead of K+2; the reference caches the
+    # analogous per-cluster geo prior, prior.py:769-805). ``None`` when
+    # the geo prior is uniform or before ``Posterior.fill_state``.
+    geo_agg: jnp.ndarray = None      # f32 (K, 3)
 
     @property
     def n_clusters(self):
@@ -73,6 +80,8 @@ class ChainState(NamedTuple):
         if self.cl_counts is not None:
             d["cl_counts"] = np.asarray(self.cl_counts)
             d["conf_counts"] = np.asarray(self.conf_counts)
+        if self.geo_agg is not None:
+            d["geo_agg"] = np.asarray(self.geo_agg)
         return d
 
     @classmethod
@@ -92,6 +101,8 @@ class ChainState(NamedTuple):
                        if "cl_counts" in d else None),
             conf_counts=(jnp.asarray(d["conf_counts"], jnp.float32)
                          if "conf_counts" in d else None),
+            geo_agg=(jnp.asarray(d["geo_agg"], jnp.float32)
+                     if "geo_agg" in d else None),
         )
 
 
