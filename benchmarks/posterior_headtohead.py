@@ -1,0 +1,218 @@
+"""Head-to-head posterior comparison vs the REFERENCE on the real
+south_america experiment (BASELINE.json north-star clause: "cluster
+posteriors matching within MCSE"; VERDICT r2 next-step #4).
+
+Two subcommands:
+
+    python benchmarks/posterior_headtohead.py run [runs] [steps] [samples]
+        Runs sbayes_tpu on the identical config (reference
+        experiments/south_america/config.yaml) as a vmapped multi-run
+        ensemble; writes standard results files under
+        benchmarks/.headtohead/.
+
+    python benchmarks/posterior_headtohead.py compare
+        Loads the reference trace (reference_posterior_real.npz, produced
+        by reference_posterior.py from the shimmed reference sampler) and
+        the sbayes_tpu runs, aligns cluster labels (Hungarian on mean
+        membership), and tests every per-object marginal
+        P(o in cluster k) for |p_ref - p_tpu| <= z * sqrt(se_ref^2 +
+        se_tpu^2).  se_ref is ESS-corrected (per-object binary trace,
+        Geyer truncation); se_tpu is the cross-run standard error (runs
+        are independent chains). Writes benchmarks/HEADTOHEAD.md.
+
+Method matches the reference's own statistical test design
+(test/test_operators.py:233-329: exact tests on per-object cluster
+marginals) scaled up to the real workload.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+SA_CONFIG = Path("/root/reference/experiments/south_america/config.yaml")
+OUT_DIR = Path(__file__).parent / ".headtohead"
+REF_NPZ = Path(__file__).parent / "reference_posterior_real.npz"
+REPORT = Path(__file__).parent / "HEADTOHEAD.md"
+
+
+def run_tpu(runs: int = 16, steps: int = 1_200_000, samples: int = 600) -> None:
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tpu")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    from sbayes_tpu.cli import main as cli_main
+
+    OUT_DIR.mkdir(exist_ok=True)
+    t0 = time.time()
+    cli_main(
+        config=SA_CONFIG,
+        experiment_name="h2h",
+        custom_settings={
+            "results": {"path": str(OUT_DIR), "log_likelihood": False},
+            "mcmc": {
+                "runs": runs,
+                "steps": steps,
+                "samples": samples,
+            },
+        },
+    )
+    meta = {"runs": runs, "steps": steps, "samples": samples,
+            "seconds": time.time() - t0}
+    (OUT_DIR / "meta.json").write_text(json.dumps(meta))
+    print(f"tpu runs done in {meta['seconds']:.0f}s", flush=True)
+
+
+def _binary_se(trace: np.ndarray) -> np.ndarray:
+    """ESS-corrected standard error of the mean of each column of a
+    (n_samples, m) binary trace."""
+    from sbayes_tpu.results.ess import effective_sample_size
+
+    n, m = trace.shape
+    se = np.empty(m)
+    for j in range(m):
+        x = trace[:, j].astype(float)
+        p = x.mean()
+        var = p * (1 - p)
+        if var == 0:
+            # never-flipped indicator: binomial upper bound with ESS ~ n/20
+            se[j] = np.sqrt(0.25 / max(4.0, n / 20.0)) if False else 1.0 / max(4.0, n / 20.0)
+            continue
+        ess = max(4.0, effective_sample_size(x))
+        se[j] = np.sqrt(var / ess)
+    return se
+
+
+def _align(ref_mean: np.ndarray, q_mean: np.ndarray) -> np.ndarray:
+    """Permutation of q's cluster labels best matching ref (Hungarian)."""
+    from scipy.optimize import linear_sum_assignment
+
+    K = ref_mean.shape[0]
+    cost = np.zeros((K, K))
+    for i in range(K):
+        for j in range(K):
+            cost[i, j] = -np.minimum(ref_mean[i], q_mean[j]).sum()
+    _, perm = linear_sum_assignment(cost)
+    return perm
+
+
+def compare(burn_in: float = 0.25, z: float = 3.5) -> None:
+    from sbayes_tpu.results.results import Results
+
+    ref = np.load(REF_NPZ, allow_pickle=True)
+    ref_meta = json.loads(str(ref["meta"]))
+    ref_cl = ref["clusters"]  # (n_samples, K, N) bool
+    nb = int(len(ref_cl) * burn_in)
+    ref_cl = ref_cl[nb:]
+    n_ref, K, N = ref_cl.shape
+
+    # per-run sbayes_tpu cluster traces
+    run_files = sorted((OUT_DIR / "h2h" / f"K{K}").glob(f"clusters_K{K}_*.txt"))
+    assert run_files, f"no sbayes_tpu runs found under {OUT_DIR}; run `run` first"
+    tpu_runs = []
+    for f in run_files:
+        stats_f = f.parent / f.name.replace("clusters_", "stats_")
+        res = Results.from_csv_files(f, stats_f, burn_in=burn_in)
+        tpu_runs.append(np.asarray(res.clusters, dtype=bool))  # (S, K, N)
+
+    # ---- label alignment ----
+    # Reference trace: align every sample to the reference running mean
+    # (the reference logger already aligns per sample when writing; the
+    # in-memory trace from reference_posterior.py is raw -> align here).
+    from scipy.optimize import linear_sum_assignment
+
+    def align_trace(tr):
+        mean = tr[0].astype(float)
+        out = np.empty_like(tr)
+        out[0] = tr[0]
+        for i in range(1, len(tr)):
+            inter = mean @ tr[i].astype(float).T  # (K,K) overlap
+            _, perm = linear_sum_assignment(-inter)
+            out[i] = tr[i][perm]
+            mean += out[i]
+        return out
+
+    ref_cl = align_trace(ref_cl)
+    ref_mean = ref_cl.mean(0)  # (K, N)
+
+    tpu_all = []
+    tpu_run_means = []
+    for tr in tpu_runs:
+        tr = align_trace(tr)
+        perm = _align(ref_mean, tr.mean(0))
+        tr = tr[:, perm]
+        tpu_all.append(tr)
+        tpu_run_means.append(tr.mean(0))
+    tpu_run_means = np.array(tpu_run_means)  # (R, K, N)
+    tpu_mean = tpu_run_means.mean(0)
+    R = len(tpu_runs)
+
+    # ---- standard errors ----
+    se_ref = _binary_se(ref_cl.reshape(n_ref - 0, K * N)).reshape(K, N)
+    # cross-run (independent chains) SE for sbayes_tpu
+    se_tpu = tpu_run_means.std(0, ddof=1) / np.sqrt(R)
+    se_tpu = np.maximum(se_tpu, 1e-4)
+
+    comb = np.sqrt(se_ref**2 + se_tpu**2)
+    diff = np.abs(ref_mean - tpu_mean)
+    fail = diff > z * comb
+
+    # label-invariant summary: P(o in any cluster)
+    any_ref = ref_cl.any(1)   # (S, N)
+    any_tpu = np.concatenate([t.any(1) for t in tpu_all], 0)
+    any_diff = np.abs(any_ref.mean(0) - any_tpu.mean(0))
+
+    lines = [
+        "# Head-to-head posterior comparison: sbayes_tpu vs reference "
+        "(real south_america)",
+        "",
+        f"- reference trace: {ref_meta['n_steps']} steps @ "
+        f"{ref_meta['steps_per_sec']:.0f} steps/s, {n_ref} post-burn-in samples "
+        f"(burn-in {burn_in:.0%})",
+        f"- sbayes_tpu: {R} independent runs "
+        f"({len(tpu_all[0])} post-burn-in samples each)",
+        f"- test: per-object per-cluster |p_ref - p_tpu| <= z*sqrt(se_ref^2+se_tpu^2), "
+        f"z={z} ({K*N} simultaneous marginals; se_ref ESS-corrected, "
+        f"se_tpu cross-run)",
+        "",
+        f"## Verdict: {'PASS' if not fail.any() else f'{int(fail.sum())}/{K*N} FAIL'}",
+        "",
+        f"- max |p_ref - p_tpu| over {K}x{N} marginals: {diff.max():.4f} "
+        f"(at z-threshold {z}*combined-SE, max z-score "
+        f"{(diff / comb).max():.2f})",
+        f"- mean |p_ref - p_tpu|: {diff.mean():.4f}",
+        f"- P(in any cluster): max diff {any_diff.max():.4f}, "
+        f"mean {any_diff.mean():.4f}",
+        f"- reference marginal SE: median {np.median(se_ref):.4f}, "
+        f"max {se_ref.max():.4f}",
+        f"- sbayes_tpu marginal SE: median {np.median(se_tpu):.4f}, "
+        f"max {se_tpu.max():.4f}",
+        "",
+        "## Worst 15 marginals",
+        "",
+        "| cluster | object | p_ref | p_tpu | diff | comb. SE | z |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    order = np.argsort((diff / comb).ravel())[::-1][:15]
+    for idx in order:
+        k, o = divmod(int(idx), N)
+        lines.append(
+            f"| {k} | {o} | {ref_mean[k, o]:.3f} | {tpu_mean[k, o]:.3f} "
+            f"| {diff[k, o]:.3f} | {comb[k, o]:.3f} | {(diff / comb)[k, o]:.2f} |"
+        )
+    REPORT.write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "compare"
+    if mode == "run":
+        run_tpu(*[int(a) for a in sys.argv[2:]])
+    else:
+        compare()

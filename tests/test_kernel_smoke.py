@@ -5,6 +5,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+
+pytestmark = pytest.mark.smoke
+
 TOY_CONFIG = "/root/reference/test/test_files/config.yaml"
 
 

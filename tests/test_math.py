@@ -10,6 +10,9 @@ from sbayes_tpu.model import math as m
 from sbayes_tpu.utils import log_binom, log_multinom
 
 
+
+pytestmark = pytest.mark.smoke
+
 def ref_dirichlet_categorical_logpdf(counts, a):
     """Oracle: collapsed categorical log-lh, straight from the definition."""
     n = counts.sum(-1)

@@ -6,6 +6,10 @@ from scipy.sparse.csgraph import minimum_spanning_tree
 from sbayes_tpu.ops.mst import cluster_mst_edge_costs, mst_aggregate
 
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 def scipy_mst_edges(cost, mask):
     sub = cost[np.ix_(mask, mask)]
     if sub.shape[0] <= 1:

@@ -6,6 +6,9 @@ import jax
 import jax.numpy as jnp
 
 
+
+pytestmark = pytest.mark.smoke
+
 @pytest.fixture(scope="module")
 def setup():
     from sbayes_tpu.model.model import Model

@@ -8,6 +8,9 @@ import jax
 import jax.numpy as jnp
 
 
+
+pytestmark = pytest.mark.smoke
+
 @pytest.fixture(scope="module")
 def base():
     from sbayes_tpu.model.model import Model

@@ -19,6 +19,9 @@ import pytest
 
 from sbayes_tpu.data.proj import Projection, _M, _m, parse_proj4
 
+
+pytestmark = pytest.mark.smoke
+
 SA_CRS = ("+proj=eqdc +lat_0=-32 +lon_0=-60 +lat_1=-5 +lat_2=-42 "
           "+x_0=0 +y_0=0 +ellps=aust_SA +units=m +no_defs")
 

@@ -7,6 +7,9 @@ import numpy as np
 import pandas as pd
 import pytest
 
+
+pytestmark = pytest.mark.smoke
+
 FIXTURES = Path(__file__).parent / "fixtures"
 
 
