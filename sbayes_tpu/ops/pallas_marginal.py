@@ -93,7 +93,12 @@ def _marginal_kernel(
     invT_ref,        # (1, 1) f32 SMEM: extra heating exponent for lh0 (1.0 = none)
     feats_ref,       # (nb, S*FCP) bf16/f32 tile (state-major chunks)
     na_ref,          # (nb, FCP) f32 (1 = NA)
-    peff_ref,        # (1, S*FCP) f32 proposal cluster effect, tiled layout
+    peff_ref,        # (2, S*FCP) f32 cluster effects, tiled layout:
+                     #   row 0 pairs with hc (the "cur" mixture), row 1
+                     #   with hc_flip. Gibbsish passes the same effect
+                     #   twice; the jump passes (eff_src, eff_tgt) with
+                     #   hc == hc_flip to get both jump marginals in ONE
+                     #   pass over the features.
     wh_ref,          # (C, FCP) f32 heated weights tile
     hc_ref,          # (nb, C) f32 current availability
     hcf_ref,         # (nb, C) f32 flipped availability
@@ -117,17 +122,20 @@ def _marginal_kernel(
             acc = acc + x[:, s * FCP:(s + 1) * FCP]
         return acc
 
-    # component-0: proposal cluster effect (+ optional extra heating)
-    lh0 = state_sum(feats * peff_ref[...])
+    # component-0: proposal cluster effects (+ optional extra heating)
     invT = invT_ref[0, 0]
-    lh0 = jnp.exp(jnp.log(jnp.maximum(lh0, TINY)) * invT)
-    lh0 = lh0 * not_na + na
+
+    def heat(x):
+        return jnp.exp(jnp.log(jnp.maximum(x, TINY)) * invT) * not_na + na
+
+    lh0a = heat(state_sum(feats * peff_ref[0:1, :]))
+    lh0b = heat(state_sum(feats * peff_ref[1:2, :]))
 
     wh = wh_ref[...]                                # (C, FCP)
     hc = hc_ref[...]                                # (nb, C)
     hcf = hcf_ref[...]
-    s_cur = (hc[:, 0:1] * lh0) * wh[0:1, :]
-    s_flip = (hcf[:, 0:1] * lh0) * wh[0:1, :]
+    s_cur = (hc[:, 0:1] * lh0a) * wh[0:1, :]
+    s_flip = (hcf[:, 0:1] * lh0b) * wh[0:1, :]
 
     for i_c in range(n_conf):
         eff = jnp.dot(group_refs[i_c][...], ceff_refs[i_c][...],
@@ -188,9 +196,12 @@ def make_pallas_marginal(consts, interpret: bool = False):
     kernel = functools.partial(_marginal_kernel, S=S, C=C, n_conf=n_conf)
 
     def marginal(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT):
-        """p_eff_tl: (1, T*S*FCP) f32; wh_tl: (C, T*FCP) f32 (heated,
-        padded with 1s); hc/hc_flip: (N, C) f32; incl: (N, 1) f32;
-        conf_eff_tl: (C-1, G, T*S*FCP) f32; invT: scalar f32."""
+        """p_eff_tl: (2, T*S*FCP) f32 — row 0 mixes under hc, row 1 under
+        hc_flip (identical rows for the gibbsish with/without marginals;
+        (eff_src, eff_tgt) with hc_flip == hc for the jump marginals);
+        wh_tl: (C, T*FCP) f32 (heated, padded with 1s); hc/hc_flip:
+        (N, C) f32; incl: (N, 1) f32; conf_eff_tl: (C-1, G, T*S*FCP) f32;
+        invT: scalar f32."""
         feats_tl = jnp.asarray(consts.features_tl)
         na_tl = jnp.asarray(consts.na_tl)
 
@@ -198,7 +209,7 @@ def make_pallas_marginal(consts, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # invT
             pl.BlockSpec((nb, S * FCP), lambda i, j: (i, j)),           # feats
             pl.BlockSpec((nb, FCP), lambda i, j: (i, j)),               # na
-            pl.BlockSpec((1, S * FCP), lambda i, j: (0, j)),            # p_eff
+            pl.BlockSpec((2, S * FCP), lambda i, j: (0, j)),            # p_eff
             pl.BlockSpec((C, FCP), lambda i, j: (0, j)),                # wh
             pl.BlockSpec((nb, C), lambda i, j: (i, 0)),                 # hc
             pl.BlockSpec((nb, C), lambda i, j: (i, 0)),                 # hc_flip

@@ -214,7 +214,8 @@ class OperatorFactory:
                 unif + (jnp.asarray(c.conc_cluster) - unif) / self.Tp
                 + cl_counts[i_cluster] / self.T, axis=-1)               # (F, S)
             conf_eff = normalize(conf_counts + jnp.asarray(c.conc_conf), axis=-1)
-            p_eff_tl = tile_layout_eff(p_eff, c.F).reshape(1, -1)
+            p_eff_row = tile_layout_eff(p_eff, c.F).reshape(1, -1)
+            p_eff_tl = jnp.concatenate([p_eff_row, p_eff_row], axis=0)  # same effect
             conf_eff_tl = tile_layout_eff(conf_eff, c.F)                # (C-1,G,TSFcp)
             wh_tl = wh_layout((state.weights ** (1.0 / self.Tp)).T, c.F)
             invT = (1.0 / self.T) * jnp.ones((), jnp.float32) if heat_effect_lh \
@@ -879,7 +880,46 @@ class OperatorFactory:
                 return log_marginal(effect(i_src)), log_marginal(effect(i_tgt))
 
             fc = c.feature_chunk
-            if fc is None or fc >= c.F:
+            chunked = fc is not None and fc < c.F
+            if chunked and self._pallas_marginal is not None:
+                # One fused VMEM pass computes BOTH jump marginals: the
+                # expensive per-object confounder expansion is shared, the
+                # two cluster effects ride the kernel's (2, .) effect rows
+                # with hc_flip == hc (ops/pallas_marginal.py).
+                from sbayes_tpu.ops.pallas_marginal import tile_layout_eff, wh_layout
+
+                def eff_of(i):
+                    return conditional_effect_mean(
+                        prior_counts=jnp.asarray(c.conc_cluster),
+                        feature_counts=cl_counts[i],
+                        unif_counts=jnp.asarray(c.unif_conc),
+                        prior_temperature=self.Tp,
+                        temperature=self.T,
+                    )
+
+                p_eff_tl = jnp.stack([
+                    tile_layout_eff(eff_of(i_src), c.F),
+                    tile_layout_eff(eff_of(i_tgt), c.F),
+                ])
+                conf_eff = conditional_effect_mean(
+                    prior_counts=jnp.asarray(c.conc_conf),
+                    feature_counts=conf_counts,
+                    unif_counts=jnp.asarray(c.unif_conc)[None, None],
+                    prior_temperature=self.Tp,
+                    temperature=self.T,
+                )
+                conf_eff_tl = tile_layout_eff(conf_eff, c.F)
+                wh_tl = wh_layout((state.weights ** (1.0 / self.Tp)).T, c.F)
+                hc_f32 = hc.astype(jnp.float32)
+                log_jump_m, log_stay_m = self._pallas_marginal(
+                    p_eff_tl, wh_tl, hc_f32, hc_f32,
+                    jnp.ones((c.N, 1), jnp.float32), conf_eff_tl,
+                    jnp.ones((), jnp.float32),
+                )
+                # incl == 1 -> m1 pairs with effect row 0 (src/stay),
+                # m0 with row 1 (tgt/jump)
+                log_stay, log_jump = log_stay_m, log_jump_m
+            elif not chunked:
                 log_stay, log_jump = slice_logs(
                     jnp.asarray(c.features), na, state.weights, cl_counts, conf_counts,
                     jnp.asarray(c.conc_cluster), jnp.asarray(c.unif_conc),
