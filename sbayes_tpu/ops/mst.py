@@ -33,9 +33,19 @@ def cluster_mst_edge_costs(cost, mask):
     start = jnp.argmax(mask)  # first member (mask must have >= 1 True for meaningful output)
     cand0 = mask & (jnp.arange(n) != start)
     d0 = jnp.where(cand0, cost[start], BIG)
+    # A cluster of m members needs exactly m-1 Prim iterations; iterating
+    # to the while-condition (instead of a fixed n-1 fori) exits as soon
+    # as the tree is complete — under vmap, at the batch-max cluster
+    # size. Typical clusters are far smaller than N, so this cuts the
+    # kernel's sequential depth (its entire cost on TPU) proportionally.
+    m_edges = jnp.maximum(mask.sum().astype(jnp.int32) - 1, 0)
 
-    def body(i, carry):
-        cand, d, edges, count = carry
+    def cond_fn(carry):
+        _, _, _, count, i = carry
+        return (i < n - 1) & (count < m_edges)
+
+    def body(carry):
+        cand, d, edges, count, i = carry
         dm = jnp.where(cand, d, BIG)
         j = jnp.argmin(dm)
         w = dm[j]
@@ -45,10 +55,11 @@ def cluster_mst_edge_costs(cost, mask):
         # Remove j from candidates and relax distances through j.
         cand = cand & (jnp.arange(n) != j) & jnp.full((n,), valid)
         d = jnp.where(cand, jnp.minimum(d, cost[j]), d)
-        return cand, d, edges, count
+        return cand, d, edges, count, i + 1
 
-    _, _, edges, count = lax.fori_loop(
-        0, n - 1, body, (cand0, d0, jnp.zeros(n - 1, dtype), jnp.int32(0))
+    _, _, edges, count, _ = lax.while_loop(
+        cond_fn, body,
+        (cand0, d0, jnp.zeros(n - 1, dtype), jnp.int32(0), jnp.int32(0)),
     )
     return edges, count
 
