@@ -38,6 +38,36 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax
 import jax.numpy as jnp
 
+
+def _wait_for_backend(attempts: int = 4, timeout_s: int = 240) -> None:
+    """The remote TPU tunnel sometimes hangs (uninterruptibly, inside the
+    dial's C code — SIGALRM never fires) or errors at backend init. Probe
+    it in a KILLABLE subprocess with bounded retries, so a dead tunnel
+    fails the bench fast with a readable error instead of hanging the
+    driver forever. Each probe process dials its own tunnel; a probe
+    succeeding means this process's subsequent dial will too."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", "import jax; d=jax.devices(); "
+                 "print(d[0].platform, len(d))"],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            if p.returncode == 0:
+                print(f"backend up: {p.stdout.strip()}", file=sys.stderr)
+                return
+            err = (p.stderr or "").strip().splitlines()
+            print(f"backend probe {i + 1}/{attempts} rc={p.returncode}: "
+                  f"{err[-1] if err else '?'}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"backend probe {i + 1}/{attempts} timed out after "
+                  f"{timeout_s}s", file=sys.stderr)
+        time.sleep(min(60, 10 * (i + 1)))
+    raise SystemExit("TPU backend unavailable after retries")
+
+
 SA_CONFIG = Path("/root/reference/experiments/south_america/config.yaml")
 # Measured: numba kernels are ~10.5% of reference step time -> headroom
 # bound ~1.10x; use 1.25x to stay conservative (benchmarks/kernel_fraction.md)
@@ -128,6 +158,7 @@ def _attempt_with_timeout(fn, timeout_s):
 
 
 def main():
+    _wait_for_backend()
     baseline_file = Path(__file__).parent / "benchmarks" / "reference_baseline_real.json"
     ref = dict(FALLBACK_REF)
     if baseline_file.exists():
