@@ -70,10 +70,11 @@ def probe_small(n_objects=1024, n_features=512, fc=128):
     fact._pm_cache = None  # disable -> XLA tiled path
     x0, x1 = jax.jit(run_pallas)(state)
     jax.block_until_ready((x0, x1))
-    gap0 = float(jnp.max(jnp.abs(m0 - x0) / (jnp.abs(x0) + 1)))
-    gap1 = float(jnp.max(jnp.abs(m1 - x1) / (jnp.abs(x1) + 1)))
-    print(f"parity max rel gap: m0 {gap0:.2e}  m1 {gap1:.2e}", flush=True)
-    assert gap0 < 2e-4 and gap1 < 2e-4, "PARITY FAIL"
+    # the pallas path emits the signed log-odds (0, diff); only the
+    # difference is contractual (see _log_marginal_with_without)
+    gap = float(jnp.max(jnp.abs((m1 - m0) - (x1 - x0)) / (jnp.abs(x1 - x0) + 1)))
+    print(f"parity max rel gap (log-odds): {gap:.2e}", flush=True)
+    assert gap < 2e-4, "PARITY FAIL"
 
     # timings
     fact._pm_cache = False
@@ -131,9 +132,80 @@ def probe_scale(n_objects=10_000, n_features=5_000, n_chains=2):
           f"{results[False]/results[True]:.2f}x", flush=True)
 
 
+def probe_stages(n_objects=10_000, n_features=5_000, n_chains=2):
+    """Where does the gibbsish branch's time go at scale? Times the fused
+    marginal evaluation ALONE (ratio and both variants, vmapped over the
+    chain axis like the production kernel) against the full branch time,
+    isolating the non-marginal residual (proposal draw scatter chain,
+    rows resample, count deltas, MH plumbing)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sbayes_tpu.model.posterior import Posterior
+    from sbayes_tpu.sampling.conditionals import Conditionals
+    from sbayes_tpu.sampling.operators import OperatorFactory
+    from sbayes_tpu.sampling.runner import SamplerRuntime
+
+    model, config = build(n_objects, n_features, pallas=True, fc=500, large=True)
+    c = model.consts
+    cfg = config.mcmc.model_copy(update={
+        "initialization": config.mcmc.initialization.model_copy(update={
+            "attempts": 1, "em_steps": 2, "objects_per_cluster": 100,
+        })
+    })
+    rt = SamplerRuntime(model, cfg, sample_from_prior=False)
+    states = rt.init_chains(jax.random.PRNGKey(0), n_chains)
+    jax.block_until_ready(states.clusters)
+    cond = Conditionals(Posterior(c), 1.0, 1.0)
+    fact = OperatorFactory(cond)
+
+    avail = jnp.ones(c.N, bool)
+
+    def marg_ratio(state):
+        return fact._log_marginal_with_without(
+            state, 1, avail, counts=(state.cl_counts, state.conf_counts))[1]
+
+    def marg_post(state):
+        # marginal + geo + sigmoid — everything a grow/shrink proposal needs
+        return fact._cluster_posterior(
+            state, 1, avail, consider_geo=False,
+            counts=(state.cl_counts, state.conf_counts))
+
+    def timeit(label, fn):
+        j = jax.jit(jax.vmap(fn))
+        jax.block_until_ready(j(states))
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            out = j(states)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"  {label:44s} {dt*1e3:8.2f} ms", flush=True)
+        return dt
+
+    print(f"stages @ {n_objects}x{n_features}, {n_chains} chains:", flush=True)
+    t_marg = timeit("fused marginal (ratio, noheat), 1 call", marg_ratio)
+    timeit("cluster posterior (marginal+sigmoid), 1 call", marg_post)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
+    ones = jnp.ones(n_chains, jnp.float32)
+    times = rt.measure_op_step_times(keys, states, ones, ones, n_steps=10)
+    by = {s.name: t for s, t in zip(rt._op_specs_cold, times)}
+    for name, t in by.items():
+        print(f"  branch {name:37s} {t*1e3:8.2f} ms", flush=True)
+    gib = next((t for n, t in by.items() if "gibbsish" in n and "wide" not in n
+                and "jump" not in n), None)
+    if gib:
+        print(f"  gibbsish residual beyond 2 marginal calls: "
+              f"{(gib - 2 * t_marg)*1e3:.2f} ms", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "small"
     if mode == "small":
         probe_small(*[int(a) for a in sys.argv[2:]])
+    elif mode == "stages":
+        probe_stages(*[int(a) for a in sys.argv[2:]])
     else:
         probe_scale(*[int(a) for a in sys.argv[2:]])

@@ -26,6 +26,24 @@ patterns (current / cluster-flipped) are mixed in the same pass.
 
 Outputs: (N, 2) partial log-marginals [without, with], accumulated over
 the feature-tile grid axis.
+
+Static specialization (the VPU-transcendental diet): the kernel is
+built per (ratio, heat) combination because log/exp are the dominant
+per-element VPU cost once the feature stream is fused:
+
+- ``heat=False`` (gibbsish + jump: the extra effect-heating exponent is
+  identically 1 there) removes the 2x(log+exp) of ``x**invT`` per
+  element — invT arrives as a *traced* SMEM scalar, so without the
+  static flag the transcendentals always execute.
+- ``ratio=True`` (gibbsish + wide raw-probs, which only consume
+  ``log_m1 - log_m0`` through a sigmoid) takes ONE effect row, computes
+  the with/without mixtures' ratio and a SINGLE log per element
+  (instead of two output logs + a duplicated effect-row reduction),
+  emitting ``(N, 1)`` signed log-odds directly.
+- ``ratio=False`` keeps both absolute marginals — required by the
+  ClusterJump's float32-EPS flooring semantics (reference
+  operators.py:1679-1722), where the two marginals are exponentiated
+  and floored *separately*.
 """
 from __future__ import annotations
 
@@ -90,25 +108,36 @@ def wh_layout(wh, F):
 
 
 def _marginal_kernel(
-    invT_ref,        # (1, 1) f32 SMEM: extra heating exponent for lh0 (1.0 = none)
-    feats_ref,       # (nb, S*FCP) bf16/f32 tile (state-major chunks)
-    na_ref,          # (nb, FCP) f32 (1 = NA)
-    peff_ref,        # (2, S*FCP) f32 cluster effects, tiled layout:
-                     #   row 0 pairs with hc (the "cur" mixture), row 1
-                     #   with hc_flip. Gibbsish passes the same effect
-                     #   twice; the jump passes (eff_src, eff_tgt) with
-                     #   hc == hc_flip to get both jump marginals in ONE
-                     #   pass over the features.
-    wh_ref,          # (C, FCP) f32 heated weights tile
-    hc_ref,          # (nb, C) f32 current availability
-    hcf_ref,         # (nb, C) f32 flipped availability
-    incl_ref,        # (nb, 1) f32 1 = object currently in the cluster
-    *rest,
-    S, C, n_conf,
+    *refs,
+    S, C, n_conf, ratio, heat,
 ):
+    """Arg order (heat variants prepend invT):
+
+        [invT_ref]       (1, 1) f32 SMEM: extra heating exponent for lh0
+        feats_ref        (nb, S*FCP) bf16/f32 tile (state-major chunks)
+        na_ref           (nb, FCP) f32 (1 = NA)
+        peff_ref         (1 or 2, S*FCP) f32 cluster effects, tiled layout:
+                           ratio=False: row 0 pairs with hc (the "cur"
+                           mixture), row 1 with hc_flip (the jump passes
+                           (eff_src, eff_tgt) with hc == hc_flip to get
+                           both jump marginals in ONE pass over the
+                           features). ratio=True: ONE row, shared.
+        wh_ref           (C, FCP) f32 heated weights tile
+        hc_ref           (nb, C) f32 current availability
+        hcf_ref          (nb, C) f32 flipped availability
+        incl_ref         (nb, 1) f32 1 = object currently in the cluster
+        group_refs       n_conf x (nb, G) f32
+        ceff_refs        n_conf x (G, S*FCP) f32
+        out_ref          (nb, 2) f32 [log m0, log m1], or (nb, 1) signed
+                           log-odds log m1 - log m0 when ratio=True
+    """
+    if heat:
+        invT_ref, *refs = refs
+    (feats_ref, na_ref, peff_ref, wh_ref, hc_ref, hcf_ref, incl_ref,
+     *rest) = refs
     group_refs = rest[:n_conf]           # (nb, G) f32 each
     ceff_refs = rest[n_conf:2 * n_conf]  # (G, S*FCP) f32 each
-    out_ref = rest[2 * n_conf]           # (nb, 2) f32
+    out_ref = rest[2 * n_conf]           # (nb, 2) or (nb, 1) f32
 
     j = pl.program_id(1)
 
@@ -122,14 +151,19 @@ def _marginal_kernel(
             acc = acc + x[:, s * FCP:(s + 1) * FCP]
         return acc
 
-    # component-0: proposal cluster effects (+ optional extra heating)
-    invT = invT_ref[0, 0]
+    # component-0: proposal cluster effects (+ optional extra heating,
+    # compiled out entirely for the heat=False variants)
+    if heat:
+        invT = invT_ref[0, 0]
 
-    def heat(x):
-        return jnp.exp(jnp.log(jnp.maximum(x, TINY)) * invT) * not_na + na
+        def finish0(x):
+            return jnp.exp(jnp.log(jnp.maximum(x, TINY)) * invT) * not_na + na
+    else:
+        def finish0(x):
+            return x * not_na + na
 
-    lh0a = heat(state_sum(feats * peff_ref[0:1, :]))
-    lh0b = heat(state_sum(feats * peff_ref[1:2, :]))
+    lh0a = finish0(state_sum(feats * peff_ref[0:1, :]))
+    lh0b = lh0a if ratio else finish0(state_sum(feats * peff_ref[1:2, :]))
 
     wh = wh_ref[...]                                # (C, FCP)
     hc = hc_ref[...]                                # (nb, C)
@@ -147,16 +181,25 @@ def _marginal_kernel(
 
     z_cur = jnp.dot(hc, wh, preferred_element_type=jnp.float32)     # (nb, FCP)
     z_flip = jnp.dot(hcf, wh, preferred_element_type=jnp.float32)
-    lh_cur = s_cur / jnp.maximum(z_cur, TINY)
-    lh_flip = s_flip / jnp.maximum(z_flip, TINY)
 
     incl = incl_ref[...]                            # (nb, 1)
-    lh_with = incl * lh_cur + (1.0 - incl) * lh_flip
-    lh_without = incl * lh_flip + (1.0 - incl) * lh_cur
 
-    pm1 = jnp.sum(jnp.log(jnp.maximum(lh_with, TINY)), axis=1, keepdims=True)
-    pm0 = jnp.sum(jnp.log(jnp.maximum(lh_without, TINY)), axis=1, keepdims=True)
-    pm = jnp.concatenate([pm0, pm1], axis=1)        # (nb, 2)
+    if ratio:
+        # log(lh_cur / lh_flip) via two O(1)-magnitude quotients and ONE
+        # log; the incl sign turns it into log m1 - log m0 (the sign is
+        # per-object, so it distributes over the feature-tile sum).
+        r = (s_cur / jnp.maximum(s_flip, TINY)) * (z_flip / jnp.maximum(z_cur, TINY))
+        lr = jnp.log(jnp.maximum(r, TINY))
+        pm = (2.0 * incl - 1.0) * jnp.sum(lr, axis=1, keepdims=True)  # (nb, 1)
+    else:
+        lh_cur = s_cur / jnp.maximum(z_cur, TINY)
+        lh_flip = s_flip / jnp.maximum(z_flip, TINY)
+        lh_with = incl * lh_cur + (1.0 - incl) * lh_flip
+        lh_without = incl * lh_flip + (1.0 - incl) * lh_cur
+
+        pm1 = jnp.sum(jnp.log(jnp.maximum(lh_with, TINY)), axis=1, keepdims=True)
+        pm0 = jnp.sum(jnp.log(jnp.maximum(lh_without, TINY)), axis=1, keepdims=True)
+        pm = jnp.concatenate([pm0, pm1], axis=1)    # (nb, 2)
 
     @pl.when(j == 0)
     def _init():
@@ -179,10 +222,18 @@ def pick_row_block(n: int, target: int = 448):
     return best
 
 
-def make_pallas_marginal(consts, interpret: bool = False):
-    """Build ``marginal(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl,
-    invT) -> (log_m0, log_m1)`` over the pre-tiled resident feature
-    layout. Returns None when unavailable (no layout / bad shapes)."""
+def make_pallas_marginal(consts, interpret: bool = False,
+                         ratio: bool = False, heat: bool = True):
+    """Build the fused marginal over the pre-tiled resident feature
+    layout; returns None when unavailable (no layout / bad shapes).
+
+    ratio=False: ``marginal(p_eff_tl (2, TSF), wh_tl, hc, hc_flip, incl,
+    conf_eff_tl[, invT]) -> (log_m0, log_m1)``.
+    ratio=True:  ``marginal(p_eff_tl (1, TSF), ...) -> log_m1 - log_m0``
+    (the signed log-odds; for callers that only feed a sigmoid).
+    heat=True variants take the extra traced ``invT`` effect-heating
+    exponent; heat=False variants compile the transcendentals out.
+    """
     if getattr(consts, "features_tl", None) is None:
         return None
     N, F, S, C = consts.N, consts.F, consts.S, consts.C
@@ -192,31 +243,36 @@ def make_pallas_marginal(consts, interpret: bool = False):
     if nb is None:
         return None
     t = _n_tiles(F)
+    n_eff_rows = 1 if ratio else 2
+    out_w = 1 if ratio else 2
 
-    kernel = functools.partial(_marginal_kernel, S=S, C=C, n_conf=n_conf)
+    kernel = functools.partial(_marginal_kernel, S=S, C=C, n_conf=n_conf,
+                               ratio=ratio, heat=heat)
 
-    def marginal(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT):
+    def marginal(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT=None):
         """p_eff_tl: (2, T*S*FCP) f32 — row 0 mixes under hc, row 1 under
-        hc_flip (identical rows for the gibbsish with/without marginals;
-        (eff_src, eff_tgt) with hc_flip == hc for the jump marginals);
-        wh_tl: (C, T*FCP) f32 (heated, padded with 1s); hc/hc_flip:
-        (N, C) f32; incl: (N, 1) f32; conf_eff_tl: (C-1, G, T*S*FCP) f32;
-        invT: scalar f32."""
+        hc_flip ((eff_src, eff_tgt) with hc_flip == hc for the jump
+        marginals) — or (1, T*S*FCP) shared when ratio=True; wh_tl:
+        (C, T*FCP) f32 (heated, padded with 1s); hc/hc_flip: (N, C) f32;
+        incl: (N, 1) f32; conf_eff_tl: (C-1, G, T*S*FCP) f32; invT:
+        scalar f32 (heat variants only)."""
         feats_tl = jnp.asarray(consts.features_tl)
         na_tl = jnp.asarray(consts.na_tl)
 
-        in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),                      # invT
+        in_specs, args = [], []
+        if heat:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))      # invT
+            args.append(invT.reshape(1, 1))
+        in_specs += [
             pl.BlockSpec((nb, S * FCP), lambda i, j: (i, j)),           # feats
             pl.BlockSpec((nb, FCP), lambda i, j: (i, j)),               # na
-            pl.BlockSpec((2, S * FCP), lambda i, j: (0, j)),            # p_eff
+            pl.BlockSpec((n_eff_rows, S * FCP), lambda i, j: (0, j)),   # p_eff
             pl.BlockSpec((C, FCP), lambda i, j: (0, j)),                # wh
             pl.BlockSpec((nb, C), lambda i, j: (i, 0)),                 # hc
             pl.BlockSpec((nb, C), lambda i, j: (i, 0)),                 # hc_flip
             pl.BlockSpec((nb, 1), lambda i, j: (i, 0)),                 # incl
         ]
-        args = [invT.reshape(1, 1), feats_tl, na_tl, p_eff_tl,
-                wh_tl, hc, hc_flip, incl]
+        args += [feats_tl, na_tl, p_eff_tl, wh_tl, hc, hc_flip, incl]
         for i_c in range(n_conf):
             in_specs.append(pl.BlockSpec((nb, G), lambda i, j: (i, 0)))
             args.append(jnp.asarray(consts.groups[i_c]).T)
@@ -228,13 +284,15 @@ def make_pallas_marginal(consts, interpret: bool = False):
             kernel,
             grid=(N // nb, t),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((nb, 2), lambda i, j: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((N, 2), jnp.float32),
+            out_specs=pl.BlockSpec((nb, out_w), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((N, out_w), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             interpret=interpret,
         )(*args)
+        if ratio:
+            return out[:, 0]
         return out[:, 0], out[:, 1]
 
     return marginal

@@ -106,13 +106,29 @@ class OperatorFactory:
 
     @property
     def _pallas_marginal(self):
+        """The (ratio=False, heat=False) fused-marginal variant — both
+        absolute marginals, as the jump's EPS-flooring semantics need."""
+        return self._pm(ratio=False, heat=False)
+
+    def _pm(self, ratio: bool, heat: bool):
+        """Fused Pallas marginal, statically specialized per caller (see
+        ops/pallas_marginal.py): gibbsish -> (ratio=True, heat=False),
+        wide raw-probs -> (ratio=True, heat=True), jump -> (False, False).
+        ``_pm_cache``: False = unset, None = force-XLA (tests), else a
+        dict of built variants (each possibly None when unavailable)."""
+        if self._pm_cache is None:
+            return None
         if self._pm_cache is False:
+            self._pm_cache = {}
+        key = (ratio, heat)
+        if key not in self._pm_cache:
             from sbayes_tpu.ops.pallas_marginal import make_pallas_marginal
 
             import os
             interp = os.environ.get("SBAYES_TPU_PALLAS_INTERPRET") == "1"
-            self._pm_cache = make_pallas_marginal(self.consts, interpret=interp)
-        return self._pm_cache
+            self._pm_cache[key] = make_pallas_marginal(
+                self.consts, interpret=interp, ratio=ratio, heat=heat)
+        return self._pm_cache[key]
 
     # ==================================================================
     # Shared cluster-posterior math
@@ -171,7 +187,7 @@ class OperatorFactory:
         return normalize(self._posterior_counts(conc, residual_counts), axis=-1)
 
     def _log_marginal_with_without(self, state, i_cluster, avail, effect_proposal="gibbs",
-                                   counts=None, heat_effect_lh=False):
+                                   counts=None, heat_effect_lh=False, ratio=True):
         """log marginal lh of each object with/without cluster membership.
 
         The collapsed membership odds used by the Gibbsish operators
@@ -186,8 +202,12 @@ class OperatorFactory:
         proposal supports tiling; the residual proposals are full-F).
 
         Returns (log_m0, log_m1): (N,) log marginals without/with the
-        cluster, meaningful at ``avail``.
-        """
+        cluster, meaningful at ``avail``. With ``ratio=True`` (the
+        default — every production caller feeds ``log_m1 - log_m0`` into
+        a sigmoid) both the Pallas and XLA paths compute the signed
+        log-odds directly with ONE log per (object, feature) element and
+        return (0, diff); ``ratio=False`` keeps the two absolute
+        marginals (the test oracle)."""
         c = self.consts
         cond = self.cond
 
@@ -206,7 +226,10 @@ class OperatorFactory:
 
         # Pallas fused path (ops/pallas_marginal.py): one VMEM pass over
         # the pre-tiled feature layout — enabled when consts carry it.
-        if chunked and self._pallas_marginal is not None:
+        # The heat transcendentals compile in only for the wide raw-probs
+        # path (heat_effect_lh).
+        pm = self._pm(ratio=ratio, heat=heat_effect_lh) if chunked else None
+        if pm is not None:
             from sbayes_tpu.ops.pallas_marginal import tile_layout_eff, wh_layout
 
             unif = jnp.asarray(c.unif_conc)
@@ -214,17 +237,20 @@ class OperatorFactory:
                 unif + (jnp.asarray(c.conc_cluster) - unif) / self.Tp
                 + cl_counts[i_cluster] / self.T, axis=-1)               # (F, S)
             conf_eff = normalize(conf_counts + jnp.asarray(c.conc_conf), axis=-1)
-            p_eff_row = tile_layout_eff(p_eff, c.F).reshape(1, -1)
-            p_eff_tl = jnp.concatenate([p_eff_row, p_eff_row], axis=0)  # same effect
+            p_eff_tl = tile_layout_eff(p_eff, c.F).reshape(1, -1)
+            if not ratio:
+                p_eff_tl = jnp.concatenate([p_eff_tl, p_eff_tl], axis=0)
             conf_eff_tl = tile_layout_eff(conf_eff, c.F)                # (C-1,G,TSFcp)
             wh_tl = wh_layout((state.weights ** (1.0 / self.Tp)).T, c.F)
-            invT = (1.0 / self.T) * jnp.ones((), jnp.float32) if heat_effect_lh \
-                else jnp.ones((), jnp.float32)
-            m0, m1 = self._pallas_marginal(
+            invT = ((1.0 / self.T) * jnp.ones((), jnp.float32)
+                    if heat_effect_lh else None)
+            out = pm(
                 p_eff_tl, wh_tl, hc.astype(jnp.float32), hc_flip.astype(jnp.float32),
                 in_cluster_now.astype(jnp.float32)[:, None], conf_eff_tl, invT,
             )
-            return m0 / self.T, m1 / self.T
+            if ratio:
+                return jnp.zeros_like(out), out / self.T
+            return out[0] / self.T, out[1] / self.T
 
         if not chunked:
             feats = jnp.asarray(c.features)
@@ -278,6 +304,17 @@ class OperatorFactory:
                         for ci in range(c.C))
             s_flip = sum(wh[None, :, ci] * hc_flip_f[:, ci, None] * lh_comps[ci]
                          for ci in range(c.C))
+
+            if ratio:
+                # signed log-odds with ONE log per (n, f): log(lh_cur /
+                # lh_flip) via two O(1)-magnitude quotients; the per-object
+                # incl sign distributes over the feature sum.
+                r = (s_cur / jnp.maximum(s_flip, TINY)) \
+                    * (z_flip / jnp.maximum(z_cur, TINY))
+                lr = jnp.log(jnp.maximum(r, TINY)).sum(-1)
+                diff = jnp.where(in_cluster_now, lr, -lr)
+                return jnp.zeros_like(diff), diff
+
             lh_cur = s_cur / jnp.maximum(z_cur, TINY)
             lh_flip = s_flip / jnp.maximum(z_flip, TINY)
 
@@ -914,7 +951,6 @@ class OperatorFactory:
                 log_jump_m, log_stay_m = self._pallas_marginal(
                     p_eff_tl, wh_tl, hc_f32, hc_f32,
                     jnp.ones((c.N, 1), jnp.float32), conf_eff_tl,
-                    jnp.ones((), jnp.float32),
                 )
                 # incl == 1 -> m1 pairs with effect row 0 (src/stay),
                 # m0 with row 1 (tgt/jump)

@@ -41,8 +41,11 @@ def setup():
 
 @pytest.mark.parametrize("heat", [False, True])
 def test_pallas_marginal_matches_xla(setup, heat):
+    """The ratio-variant kernel (one effect row, single log per element)
+    reproduces the XLA closed-form log-odds log_m1 - log_m0 — the only
+    quantity callers consume (through a sigmoid)."""
     model, cond, fact, state = setup
-    assert fact._pallas_marginal is not None
+    assert fact._pm(ratio=True, heat=heat) is not None
     avail = jnp.ones(model.consts.N, bool)
     counts = (state.cl_counts, state.conf_counts)
 
@@ -53,8 +56,49 @@ def test_pallas_marginal_matches_xla(setup, heat):
     x0, x1 = fact._log_marginal_with_without(state, 1, avail, counts=counts,
                                              heat_effect_lh=heat)
     fact._pm_cache = False
-    np.testing.assert_allclose(np.asarray(m0), np.asarray(x0), rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(m1), np.asarray(x1), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(m1 - m0), np.asarray(x1 - x0),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("heat", [False, True])
+def test_pallas_marginal_both_mode_matches_xla(setup, heat):
+    """The two-output variant (jump path) still reproduces BOTH absolute
+    marginals of the XLA path, for either heat specialization."""
+    from sbayes_tpu.model.math import normalize
+    from sbayes_tpu.ops.pallas_marginal import tile_layout_eff, wh_layout
+
+    model, cond, fact, state = setup
+    c = model.consts
+    counts = (state.cl_counts, state.conf_counts)
+    avail = jnp.ones(c.N, bool)
+
+    pm = fact._pm(ratio=False, heat=heat)
+    assert pm is not None
+    cl_counts, conf_counts = counts
+    unif = jnp.asarray(c.unif_conc)
+    p_eff = normalize(
+        unif + (jnp.asarray(c.conc_cluster) - unif) / fact.Tp
+        + cl_counts[1] / fact.T, axis=-1)
+    conf_eff = normalize(conf_counts + jnp.asarray(c.conc_conf), axis=-1)
+    row = tile_layout_eff(p_eff, c.F).reshape(1, -1)
+    p_eff_tl = jnp.concatenate([row, row], axis=0)
+    wh_tl = wh_layout((state.weights ** (1.0 / fact.Tp)).T, c.F)
+    hc = cond.post.has_components(state.clusters)
+    hc_flip = hc.at[:, 0].set(~hc[:, 0])
+    incl = hc[:, 0].astype(jnp.float32)[:, None]
+    invT = (1.0 / fact.T) * jnp.ones((), jnp.float32) if heat else None
+    m0, m1 = pm(p_eff_tl, wh_tl, hc.astype(jnp.float32),
+                hc_flip.astype(jnp.float32), incl,
+                tile_layout_eff(conf_eff, c.F), invT)
+
+    fact._pm_cache = None
+    x0, x1 = fact._log_marginal_with_without(state, 1, avail, counts=counts,
+                                             heat_effect_lh=heat, ratio=False)
+    fact._pm_cache = False
+    np.testing.assert_allclose(np.asarray(m0) / fact.T, np.asarray(x0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(m1) / fact.T, np.asarray(x1),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_pallas_jump_matches_xla(setup):
