@@ -109,7 +109,7 @@ def wh_layout(wh, F):
 
 def _marginal_kernel(
     *refs,
-    S, C, n_conf, ratio, heat,
+    S, C, n_conf, ratio, heat, two_eff,
 ):
     """Arg order (heat variants prepend invT):
 
@@ -163,7 +163,8 @@ def _marginal_kernel(
             return x * not_na + na
 
     lh0a = finish0(state_sum(feats * peff_ref[0:1, :]))
-    lh0b = lh0a if ratio else finish0(state_sum(feats * peff_ref[1:2, :]))
+    lh0b = (lh0a if (ratio and not two_eff)
+            else finish0(state_sum(feats * peff_ref[1:2, :])))
 
     wh = wh_ref[...]                                # (C, FCP)
     hc = hc_ref[...]                                # (nb, C)
@@ -223,7 +224,8 @@ def pick_row_block(n: int, target: int = 448):
 
 
 def make_pallas_marginal(consts, interpret: bool = False,
-                         ratio: bool = False, heat: bool = True):
+                         ratio: bool = False, heat: bool = True,
+                         two_eff: bool = False):
     """Build the fused marginal over the pre-tiled resident feature
     layout; returns None when unavailable (no layout / bad shapes).
 
@@ -231,6 +233,9 @@ def make_pallas_marginal(consts, interpret: bool = False,
     conf_eff_tl[, invT]) -> (log_m0, log_m1)``.
     ratio=True:  ``marginal(p_eff_tl (1, TSF), ...) -> log_m1 - log_m0``
     (the signed log-odds; for callers that only feed a sigmoid).
+    ratio=True, two_eff=True: two DISTINCT effect rows (row 0 pairs with
+    hc, row 1 with hc_flip) but still the single-log ratio output — the
+    log-space jump proposal's shape (pass hc_flip == hc there).
     heat=True variants take the extra traced ``invT`` effect-heating
     exponent; heat=False variants compile the transcendentals out.
     """
@@ -243,11 +248,11 @@ def make_pallas_marginal(consts, interpret: bool = False,
     if nb is None:
         return None
     t = _n_tiles(F)
-    n_eff_rows = 1 if ratio else 2
+    n_eff_rows = 1 if (ratio and not two_eff) else 2
     out_w = 1 if ratio else 2
 
     kernel = functools.partial(_marginal_kernel, S=S, C=C, n_conf=n_conf,
-                               ratio=ratio, heat=heat)
+                               ratio=ratio, heat=heat, two_eff=two_eff)
 
     def marginal(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT=None):
         """p_eff_tl: (2, T*S*FCP) f32 — row 0 mixes under hc, row 1 under

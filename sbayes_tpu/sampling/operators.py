@@ -110,24 +110,26 @@ class OperatorFactory:
         absolute marginals, as the jump's EPS-flooring semantics need."""
         return self._pm(ratio=False, heat=False)
 
-    def _pm(self, ratio: bool, heat: bool):
+    def _pm(self, ratio: bool, heat: bool, two_eff: bool = False):
         """Fused Pallas marginal, statically specialized per caller (see
         ops/pallas_marginal.py): gibbsish -> (ratio=True, heat=False),
-        wide raw-probs -> (ratio=True, heat=True), jump -> (False, False).
+        wide raw-probs -> (ratio=True, heat=True), log-space jump ->
+        (True, False, two_eff=True), EPS-flooring jump -> (False, False).
         ``_pm_cache``: False = unset, None = force-XLA (tests), else a
         dict of built variants (each possibly None when unavailable)."""
         if self._pm_cache is None:
             return None
         if self._pm_cache is False:
             self._pm_cache = {}
-        key = (ratio, heat)
+        key = (ratio, heat, two_eff)
         if key not in self._pm_cache:
             from sbayes_tpu.ops.pallas_marginal import make_pallas_marginal
 
             import os
             interp = os.environ.get("SBAYES_TPU_PALLAS_INTERPRET") == "1"
             self._pm_cache[key] = make_pallas_marginal(
-                self.consts, interpret=interp, ratio=ratio, heat=heat)
+                self.consts, interpret=interp, ratio=ratio, heat=heat,
+                two_eff=two_eff)
         return self._pm_cache[key]
 
     # ==================================================================
@@ -863,11 +865,28 @@ class OperatorFactory:
         K, N = consts.K, consts.N
         na = jnp.asarray(consts.na)
 
+        # Proposal-probability numerics (scale-aware policy, like the
+        # source-op sweep): the reference exponentiates both marginals in
+        # f32 and floors to EPS (get_jump_lh, operators.py:1679-1722) —
+        # at a few hundred features BOTH products underflow, so at scale
+        # every jump proposal collapses to uniform 0.5 and the gibbsish
+        # marginal work is wasted. At large F we default to the
+        # numerically exact log-space form sigmoid((log_jump-log_stay)/T)
+        # — a documented divergence that only changes the PROPOSAL (MH
+        # corrects it; stationary distribution untouched) and restores an
+        # informative jump at scale. Env SBAYES_TPU_JUMP_LOGSPACE=1/0
+        # overrides the default (F >= 512).
+        import os
+
+        _env = os.environ.get("SBAYES_TPU_JUMP_LOGSPACE")
+        logspace = (consts.F >= 512) if _env is None else _env == "1"
+
         def jump_lh(state, cl_counts, conf_counts, i_src, i_tgt):
             """(N,) probability that each source-cluster member prefers the
             target cluster (reference: get_jump_lh, operators.py:1679-1722).
             Meaningful at members of cluster i_src. Keeps the reference's
-            float32-EPS flooring semantics (tiny products become uniform).
+            float32-EPS flooring semantics (tiny products become uniform)
+            at reference scale; log-space at large F (see above).
             Feature-separable: tiles over F when consts.feature_chunk set."""
             c = consts
             hc = cond.post.has_components(state.clusters)
@@ -918,11 +937,15 @@ class OperatorFactory:
 
             fc = c.feature_chunk
             chunked = fc is not None and fc < c.F
-            if chunked and self._pallas_marginal is not None:
+            pm = (self._pm(ratio=True, heat=False, two_eff=True) if logspace
+                  else self._pallas_marginal) if chunked else None
+            if pm is not None:
                 # One fused VMEM pass computes BOTH jump marginals: the
                 # expensive per-object confounder expansion is shared, the
                 # two cluster effects ride the kernel's (2, .) effect rows
-                # with hc_flip == hc (ops/pallas_marginal.py).
+                # with hc_flip == hc (ops/pallas_marginal.py). In log-space
+                # mode the ratio variant emits log_stay - log_jump directly
+                # (single log per element).
                 from sbayes_tpu.ops.pallas_marginal import tile_layout_eff, wh_layout
 
                 def eff_of(i):
@@ -948,7 +971,13 @@ class OperatorFactory:
                 conf_eff_tl = tile_layout_eff(conf_eff, c.F)
                 wh_tl = wh_layout((state.weights ** (1.0 / self.Tp)).T, c.F)
                 hc_f32 = hc.astype(jnp.float32)
-                log_jump_m, log_stay_m = self._pallas_marginal(
+                if logspace:
+                    # incl == 1: diff = log m(row0 = src/stay) - log
+                    # m(row1 = tgt/jump); the proposal wants the jump odds.
+                    diff = pm(p_eff_tl, wh_tl, hc_f32, hc_f32,
+                              jnp.ones((c.N, 1), jnp.float32), conf_eff_tl)
+                    return jax.nn.sigmoid(-diff / self.T)
+                log_jump_m, log_stay_m = pm(
                     p_eff_tl, wh_tl, hc_f32, hc_f32,
                     jnp.ones((c.N, 1), jnp.float32), conf_eff_tl,
                 )
@@ -984,6 +1013,8 @@ class OperatorFactory:
                 ls_t, lj_t = jax.lax.map(tile_body, jnp.arange(c.F // fc))
                 log_stay, log_jump = ls_t.sum(0), lj_t.sum(0)
 
+            if logspace:
+                return jax.nn.sigmoid((log_jump - log_stay) / self.T)
             lh_stay = jnp.exp(log_stay / self.T) + EPS32
             lh_jump = jnp.exp(log_jump / self.T) + EPS32
             return lh_jump / (lh_jump + lh_stay)

@@ -186,14 +186,18 @@ def test_single_operator_preserves_prior(op_name):
 
 
 @pytest.mark.slow
-def test_jump_sampler_consistency_with_likelihood():
+@pytest.mark.parametrize("jump_logspace", ["0", "1"])
+def test_jump_sampler_consistency_with_likelihood(jump_logspace, monkeypatch):
     """Jump-heavy vs no-jump schedules must sample the same posterior
     (likelihood LIVE — this is the configuration where the round-1
-    backward-proposal bug biased every K>1 run)."""
+    backward-proposal bug biased every K>1 run). Parametrized over both
+    jump-proposal numerics (reference EPS-flooring and the scale-default
+    log-space form): either proposal must leave the posterior invariant."""
     from sbayes_tpu.sampling.kernel import Carry, OperatorStats, make_step_fn
     from sbayes_tpu.sampling.operators import get_operator_schedule
     from sbayes_tpu.sampling.initializer import Initializer
 
+    monkeypatch.setenv("SBAYES_TPU_JUMP_LOGSPACE", jump_logspace)
     cond, config = _build()
     base = get_operator_schedule(cond, config.mcmc.operators)
 

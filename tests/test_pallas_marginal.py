@@ -101,6 +101,30 @@ def test_pallas_marginal_both_mode_matches_xla(setup, heat):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_jump_logspace_matches_xla(setup, monkeypatch):
+    """The log-space jump (two_eff ratio kernel: two DISTINCT effect rows,
+    single-log output) reproduces the XLA log-space path: same RNG stream
+    -> identical proposals, matching q densities."""
+    model, cond, fact, state = setup
+    monkeypatch.setenv("SBAYES_TPU_JUMP_LOGSPACE", "1")
+
+    op = fact.make_cluster_jump(gibbsish=True)
+    key = jax.random.PRNGKey(78)
+    res_pallas = op(key, state)
+
+    fact._pm_cache = None  # force the XLA tiled path
+    op_xla = fact.make_cluster_jump(gibbsish=True)
+    res_xla = op_xla(key, state)
+    fact._pm_cache = False
+
+    np.testing.assert_array_equal(np.asarray(res_pallas.state.clusters),
+                                  np.asarray(res_xla.state.clusters))
+    np.testing.assert_allclose(float(res_pallas.log_q), float(res_xla.log_q),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(res_pallas.log_q_back), float(res_xla.log_q_back),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_pallas_jump_matches_xla(setup):
     """The jump operator's fused two-effect marginal pass (kernel rows
     (eff_src, eff_tgt), hc_flip == hc) reproduces the XLA tiled path:
