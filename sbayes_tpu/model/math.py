@@ -45,6 +45,45 @@ def dirichlet_categorical_logpdf(counts, a):
     return const + series
 
 
+def dirichlet_categorical_delta(counts, a, d):
+    """Exact change of ``dirichlet_categorical_logpdf(counts + d, a).sum()``
+    minus ``...(counts, a).sum()`` for unit count moves, without lgammas.
+
+    ``d`` has entries in {-1, 0, +1} with at most one observation moving
+    per feature (sum over states per feature in {-1, 0, +1}) — the shape
+    of a single object's membership/source change. Uses
+    lgamma(c+1) - lgamma(c) = log(c), so the whole delta is a handful of
+    logs on the touched entries instead of a full lgamma recompute:
+
+        +1 at (f,s): +log(counts + a)        (value BEFORE the move)
+        -1 at (f,s): -log(counts + a - 1)
+        n_f += 1:    -log(n_f + sum_a)
+        n_f -= 1:    +log(n_f + sum_a - 1)
+
+    Args:
+        counts: (..., F, S) counts BEFORE the move.
+        a: (..., F, S) concentrations (<= 0 marks non-applicable; ``d``
+           must be zero there — one-hot features guarantee it).
+        d: (..., F, S) the count change.
+    Returns:
+        scalar-per-leading-batch (...,): the log-likelihood change.
+    """
+    up = d > 0
+    dn = d < 0
+    series = (
+        jnp.where(up, jnp.log(jnp.maximum(counts + a, 1e-35)), 0.0)
+        - jnp.where(dn, jnp.log(jnp.maximum(counts + a - 1, 1e-35)), 0.0)
+    ).sum((-1, -2))
+    n = counts.sum(-1)
+    sum_a = a.sum(-1)
+    dn_f = d.sum(-1)
+    const = (
+        -jnp.where(dn_f > 0, jnp.log(jnp.maximum(n + sum_a, 1e-35)), 0.0)
+        + jnp.where(dn_f < 0, jnp.log(jnp.maximum(n + sum_a - 1, 1e-35)), 0.0)
+    ).sum(-1)
+    return series + const
+
+
 def dirichlet_logpdf(x, alpha, where=None):
     """Dirichlet log-density over the last axis.
 

@@ -66,14 +66,23 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
 
     from sbayes_tpu.sampling.state import PRIOR_GEO, PRIOR_SIZE, PRIOR_SOURCE, PRIOR_WEIGHTS
 
-    def evaluate_candidate(spec: OperatorSpec, old_state, cand, sp_delta=None):
+    def evaluate_candidate(spec: OperatorSpec, old_state, cand,
+                           sp_delta=None, ll_delta=None):
         """Posterior bookkeeping of the candidate, specialized to the terms
         the operator can actually change (static per branch). The candidate
         counts are the operator-maintained exact state counts
         (ChainState.cl_counts/conf_counts) — no count-einsum recompute.
         ``sp_delta`` (OpResult.source_prior_delta) replaces the full
-        source-prior stream for subset moves: the carried value updates by
-        the exact O(m·F) delta (MH differences cancel the shared base)."""
+        source-prior stream for subset moves; ``ll_delta``
+        (OpResult.ll_delta) replaces the full lgamma likelihood recompute
+        for single-object movers. Exact deltas also flow into the returned
+        (d_ll, d_prior) MH terms DIRECTLY: at scale the carried totals'
+        f32 ulp (~2 at |log_lh| ~ 3e7) would otherwise quantize the MH
+        ratio; the carried state values themselves may accumulate that
+        rounding (bounded, asserted vs recompute in
+        tests/test_counts_threading.py; logged samples are recomputed).
+
+        Returns (cand_filled, d_ll, d_prior)."""
         counts = (None if cand.cl_counts is None
                   else (cand.cl_counts, cand.conf_counts))
 
@@ -82,13 +91,17 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
                 return old_state.prior_parts[PRIOR_SOURCE] + sp_delta
             return post.source_prior(cand.clusters, cand.weights, cand.source)
 
-        if spec.changes == "clusters":
+        def candidate_log_lh():
             if sfp:
-                ll = jnp.zeros((), jnp.float32)
-            elif counts is not None:
-                ll = post.log_likelihood_from_counts(*counts)
-            else:
-                ll = post.log_likelihood(cand)
+                return jnp.zeros((), jnp.float32)
+            if ll_delta is not None:
+                return old_state.log_lh + ll_delta
+            if counts is not None:
+                return post.log_likelihood_from_counts(*counts)
+            return post.log_likelihood(cand)
+
+        if spec.changes == "clusters":
+            ll = candidate_log_lh()
             # weights untouched by every cluster-changing operator: the
             # weights prior carries over from the old state
             # Carried (K, 3) geo aggregates: the operator re-derived only
@@ -106,12 +119,7 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
             )
         elif spec.changes == "source":
             # clusters & weights untouched: size/geo/weights priors carry over
-            if sfp:
-                ll = jnp.zeros((), jnp.float32)
-            elif counts is not None:
-                ll = post.log_likelihood_from_counts(*counts)
-            else:
-                ll = post.log_likelihood(cand)
+            ll = candidate_log_lh()
             pp = old_state.prior_parts.at[PRIOR_SOURCE].set(candidate_source_prior())
         elif spec.changes == "weights":
             # the collapsed likelihood does not involve the weights
@@ -121,20 +129,34 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
             pp = old_state.prior_parts.at[PRIOR_WEIGHTS].set(wp).at[PRIOR_SOURCE].set(sp)
         else:
             raise ValueError(f"Unknown operator change group {spec.changes}")
-        return cand._replace(log_lh=ll, log_prior=pp.sum(), prior_parts=pp)
+
+        # Exact MH terms: per-part prior differences (small magnitudes),
+        # with the carried parts' exact deltas substituted where known.
+        d_parts = pp - old_state.prior_parts
+        if sp_delta is not None:
+            d_parts = d_parts.at[PRIOR_SOURCE].set(sp_delta)
+        d_prior = d_parts.sum()
+        if sfp or spec.changes == "weights":
+            d_ll = jnp.zeros((), jnp.float32)
+        elif ll_delta is not None:
+            d_ll = ll_delta
+        else:
+            d_ll = ll - old_state.log_lh
+        return cand._replace(log_lh=ll, log_prior=pp.sum(), prior_parts=pp), d_ll, d_prior
 
     def make_branch(spec: OperatorSpec):
         def branch(key, state):
             k_prop, k_u = jax.random.split(key)
             res = spec.fn(k_prop, state)
-            cand = evaluate_candidate(spec, state, res.state,
-                                      sp_delta=res.source_prior_delta)
+            cand, d_ll, d_prior = evaluate_candidate(
+                spec, state, res.state,
+                sp_delta=res.source_prior_delta, ll_delta=res.ll_delta)
 
             gibbs = jnp.isneginf(res.log_q)
             direct_reject = jnp.isneginf(res.log_q_back)
             mh_ratio = (
-                (cand.log_lh - state.log_lh) / T
-                + (cand.log_prior - state.log_prior) / Tp
+                d_ll / T
+                + d_prior / Tp
                 - (res.log_q - res.log_q_back)
             )
             u = jnp.log(jax.random.uniform(k_u))

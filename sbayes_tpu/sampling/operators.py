@@ -26,6 +26,7 @@ from jax.scipy.special import betaln
 
 from sbayes_tpu.model.math import (
     conditional_effect_mean,
+    dirichlet_categorical_delta,
     normalize,
     normalize_weights,
     sample_categorical_onehot,
@@ -49,18 +50,25 @@ class OpResult(NamedTuple):
     # Exact source-prior delta of the move (None -> the MH kernel streams a
     # full source_prior recompute). Subset moves compute it from their
     # gathered rows in O(m·F); the carried log-prior then updates by +delta
-    # (differences in the MH ratio stay exact — the shared base cancels;
+    # (the exact delta also feeds the MH ratio directly — at scale the
+    # carried totals' f32 ulp would otherwise quantize the ratio;
     # logged per-sample values are full recomputes via the sample view).
     source_prior_delta: jnp.ndarray = None
+    # Exact log-likelihood delta of the move (None -> the MH kernel
+    # evaluates log_likelihood_from_counts). Single-object movers compute
+    # it in O(F·S) logs via math.dirichlet_categorical_delta.
+    ll_delta: jnp.ndarray = None
 
 
-def _reject(state, with_delta: bool = False) -> "OpResult":
-    """Forced-reject result; ``with_delta`` must match the paired accept
-    branch's OpResult structure (delta array vs None)."""
+def _reject(state, with_delta: bool = False,
+            with_ll_delta: bool = False) -> "OpResult":
+    """Forced-reject result; ``with_delta``/``with_ll_delta`` must match
+    the paired accept branch's OpResult structure (delta array vs None)."""
     z = jnp.float32
     return OpResult(state, jnp.asarray(Q_REJECT, z), jnp.asarray(-jnp.inf, z),
                     jnp.asarray(0.0, z),
-                    jnp.asarray(0.0, z) if with_delta else None)
+                    jnp.asarray(0.0, z) if with_delta else None,
+                    jnp.asarray(0.0, z) if with_ll_delta else None)
 
 
 def _select_result(pred, a: OpResult, b: OpResult) -> OpResult:
@@ -404,15 +412,21 @@ class OperatorFactory:
     def _delta_counts(self, counts, obj, clusters_old, clusters_new,
                       src_old_row, src_new_row):
         """Exact O(F·S) sufficient-statistic update for ONE object's
-        membership/source change (grow/shrink/jump). Replaces the full
-        O(N·F·S) count einsum for the candidate state — exact because the
-        counts are integer-valued f32 (sums of 0/1 products < 2^24).
+        membership/source change (grow/shrink/jump), plus the exact
+        log-likelihood delta of the move. Replaces the full O(N·F·S)
+        count einsum AND the full lgamma likelihood recompute for the
+        candidate state — exact because the counts are integer-valued f32
+        (sums of 0/1 products < 2^24), so lgamma differences collapse to
+        logs of the touched entries (math.dirichlet_categorical_delta).
 
         Args:
             counts: (cl_counts (K,F,S), conf_counts (C-1,G,F,S)) of the OLD
                 state.
             obj: the changed object's index.
             src_old_row / src_new_row: (F, C) one-hot source rows of obj.
+        Returns:
+            (cl_counts_new, conf_counts_new, ll_delta): the candidate
+            counts and the scalar log_likelihood(new) - log_likelihood(old).
         """
         c = self.consts
         cl_counts, conf_counts = counts
@@ -421,17 +435,34 @@ class OperatorFactory:
 
         old0 = feats_o * src_old_row[:, 0].astype(dtype)[:, None]  # (F, S)
         new0 = feats_o * src_new_row[:, 0].astype(dtype)[:, None]
-        cl = (
-            cl_counts
-            - clusters_old[:, obj].astype(dtype)[:, None, None] * old0[None]
-            + clusters_new[:, obj].astype(dtype)[:, None, None] * new0[None]
-        )
+        d_cl = (
+            clusters_new[:, obj].astype(jnp.float32)[:, None, None]
+            * new0[None].astype(jnp.float32)
+            - clusters_old[:, obj].astype(jnp.float32)[:, None, None]
+            * old0[None].astype(jnp.float32)
+        )                                                           # (K, F, S)
+        cl = cl_counts + d_cl
 
-        g_o = jnp.asarray(c.groups)[:, :, obj]  # (C-1, Gmax)
+        g_o = jnp.asarray(c.groups)[:, :, obj].astype(jnp.float32)  # (C-1, Gmax)
         oldc = feats_o[None] * src_old_row[:, 1:].T.astype(dtype)[:, :, None]  # (C-1,F,S)
         newc = feats_o[None] * src_new_row[:, 1:].T.astype(dtype)[:, :, None]
-        conf = conf_counts + g_o[:, :, None, None] * (newc - oldc)[:, None]
-        return cl, conf
+        d_conf_row = (newc - oldc).astype(jnp.float32)               # (C-1, F, S)
+        conf = conf_counts + g_o[:, :, None, None] * d_conf_row[:, None]
+
+        # Exact log-likelihood delta: only the objects' cluster row(s) and
+        # one group row per confounder change — logs of those entries,
+        # no lgamma streams (K is tiny, so all K rows are evaluated; rows
+        # with d == 0 contribute exactly 0).
+        conc_cl = jnp.asarray(c.conc_cluster)                        # (F, S)
+        ll_d = dirichlet_categorical_delta(cl_counts, conc_cl[None], d_cl).sum()
+        # gather the single touched group row per confounder (g_o is
+        # one-hot or all-zero; all-zero -> row/a/d are zero -> delta 0)
+        row_old = jnp.einsum("cg,cgfs->cfs", g_o, conf_counts)
+        a_row = jnp.einsum("cg,cgfs->cfs", g_o, jnp.asarray(c.conc_conf))
+        has_g = g_o.sum(-1)[:, None, None]                           # (C-1,1,1)
+        ll_d = ll_d + dirichlet_categorical_delta(
+            row_old, a_row, d_conf_row * has_g).sum()
+        return cl, conf, ll_d
 
     def _update_geo(self, geo_agg, clusters_new, *changed_clusters):
         """Re-derive the carried (K, 3) geo-skeleton aggregates for the
@@ -491,8 +522,10 @@ class OperatorFactory:
             rs = cond.gibbs_resample_source_rows(
                 k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
                 i_cluster, counts)
-            counts_new = self._delta_counts(counts, obj, state.clusters, clusters_new,
-                                            state.source[obj], rs.source[obj])
+            cl_new, conf_new, ll_d = self._delta_counts(
+                counts, obj, state.clusters, clusters_new,
+                state.source[obj], rs.source[obj])
+            counts_new = (cl_new, conf_new)
             state_new = self._put_counts(
                 state._replace(
                     clusters=clusters_new, source=rs.source,
@@ -510,8 +543,11 @@ class OperatorFactory:
                 jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q_back + jnp.log(1 - p_grow)
             )
             res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
-                           source_prior_delta=rs.source_prior_delta)
-            return _select_result(rejected, _reject(state, with_delta=True), res)
+                           source_prior_delta=rs.source_prior_delta,
+                           ll_delta=ll_d)
+            return _select_result(rejected,
+                                  _reject(state, with_delta=True, with_ll_delta=True),
+                                  res)
 
         def shrink(key, state, i_cluster, counts):
             k_obj, k_src = jax.random.split(key)
@@ -528,8 +564,10 @@ class OperatorFactory:
             rs = cond.gibbs_resample_source_rows(
                 k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
                 i_cluster, counts)
-            counts_new = self._delta_counts(counts, obj, state.clusters, clusters_new,
-                                            state.source[obj], rs.source[obj])
+            cl_new, conf_new, ll_d = self._delta_counts(
+                counts, obj, state.clusters, clusters_new,
+                state.source[obj], rs.source[obj])
+            counts_new = (cl_new, conf_new)
             state_new = self._put_counts(
                 state._replace(
                     clusters=clusters_new, source=rs.source,
@@ -546,8 +584,11 @@ class OperatorFactory:
             log_q = jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q + jnp.log(1 - p_grow)
             log_q_back = jnp.log(jnp.maximum(p_add[obj], TINY)) + rs.log_q_back + jnp.log(p_grow)
             res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
-                           source_prior_delta=rs.source_prior_delta)
-            return _select_result(rejected, _reject(state, with_delta=True), res)
+                           source_prior_delta=rs.source_prior_delta,
+                           ll_delta=ll_d)
+            return _select_result(rejected,
+                                  _reject(state, with_delta=True, with_ll_delta=True),
+                                  res)
 
         def op(key, state):
             k_c, k_g, k_branch = jax.random.split(key, 3)
@@ -1044,7 +1085,7 @@ class OperatorFactory:
                 k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
                 i_cluster_new=i_tgt, i_cluster_old=i_src,
                 counts=(cl_counts, conf_counts))
-            cl_counts2, conf_counts2 = self._delta_counts(
+            cl_counts2, conf_counts2, ll_d = self._delta_counts(
                 (cl_counts, conf_counts), obj, state.clusters, clusters_new,
                 state.source[obj], rs.source[obj],
             )
@@ -1064,8 +1105,11 @@ class OperatorFactory:
             log_q = jnp.log(jnp.maximum(p_jump[obj], TINY)) + rs.log_q
             log_q_back = jnp.log(jnp.maximum(p_jump_back[obj], TINY)) + rs.log_q_back
             res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
-                           source_prior_delta=rs.source_prior_delta)
-            return _select_result(rejected, _reject(state, with_delta=True), res)
+                           source_prior_delta=rs.source_prior_delta,
+                           ll_delta=ll_d)
+            return _select_result(rejected,
+                                  _reject(state, with_delta=True, with_ll_delta=True),
+                                  res)
 
         return op
 

@@ -55,6 +55,24 @@ def _fill_state_jit(consts, sample_from_prior, state):
     return Posterior(consts, sample_from_prior).fill_state(state)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _refresh_states_jit(consts, sample_from_prior, states):
+    """Vmapped exact recompute of every carried invariant (log_lh,
+    prior_parts, counts, geo aggregates) for a chain batch. The step
+    kernel feeds EXACT deltas into the MH ratio, but the stored f32
+    running totals accumulate one rounding (~ulp(|value|)) per accepted
+    move; a periodic refresh keeps MC3 swap ratios, the warm-up race and
+    the screen log drift-free over million-step runs."""
+    post = Posterior(consts, sample_from_prior)
+    return jax.vmap(post.fill_state)(states)
+
+
+# Chunk cadence of the exact carried-invariant refresh in the sampling
+# loops (one full posterior recompute per this many chunks: amortized
+# to noise, while bounding f32 drift to a few hundred accepted moves).
+REFRESH_EVERY_CHUNKS = 64
+
+
 class SamplerRuntime:
     """Compiled, vmapped sampling programs for one model."""
 
@@ -748,6 +766,8 @@ class MCMCSetup:
             carry = rt.run_chunk(keys, states, stats, ones, ones, steps_per_sample)
             keys, states, stats = carry.key, carry.state, carry.stats
             i_step += steps_per_sample
+            if (i_sample + 1) % REFRESH_EVERY_CHUNKS == 0:
+                states = _refresh_states_jit(rt.consts, rt.sample_from_prior, states)
 
             if int(jax.device_get(stats.non_finite.sum())) > 0:
                 raise ValueError("Non-finite log-posterior was accepted during MCMC.")
@@ -799,6 +819,8 @@ class MCMCSetup:
             carry = rt.run_chunk(k_chunk[None], states, stats, ones, ones, steps_per_sample)
             states, stats = carry.state, carry.stats
             i_step += steps_per_sample
+            if (i_sample + 1) % REFRESH_EVERY_CHUNKS == 0:
+                states = _refresh_states_jit(rt.consts, rt.sample_from_prior, states)
 
             if int(jax.device_get(stats.non_finite[0])) > 0:
                 raise ValueError("Non-finite log-posterior was accepted during MCMC.")
@@ -973,6 +995,10 @@ class MCMCSetup:
             i_step += n_steps_chunk
             self.swap_accepts += int(jax.device_get(n_acc))
             self.swap_attempts += int(jax.device_get(n_att))
+            if (i_outer + 1) % REFRESH_EVERY_CHUNKS == 0:
+                # swap ratios compare carried log_lh ACROSS chains — keep
+                # them drift-free over long ladders
+                states = _refresh_states_jit(rt.consts, rt.sample_from_prior, states)
 
             if mc3.log_swap_matrix and self.last_swap_matrix_save < self.swap_attempts:
                 self.swap_matrix = np.asarray(swap_matrix_dev)

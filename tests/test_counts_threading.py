@@ -74,3 +74,31 @@ def test_counts_survive_a_kernel_chunk(setup):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(float(carry.state.log_lh), float(parts.log_lh),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_ll_delta_matches_full_recompute(setup):
+    """OpResult.ll_delta (math.dirichlet_categorical_delta over the touched
+    count rows) must equal log_likelihood_from_counts(new) - (old) for the
+    single-object movers, across accept-branch proposals."""
+    cond, ops, state = setup
+    single_movers = [s for s in ops if s.name in (
+        "cluster_naive_n1", "cluster_gibbsish_geo", "cluster_naive_n1_geo",
+        "cluster_naive_n2_geo", "cluster_gibbsish", "cluster_jump_gibbsish")]
+    assert single_movers, "no single-object movers in schedule"
+    ll_old = float(jax.jit(cond.post.log_likelihood_from_counts)(
+        state.cl_counts, state.conf_counts))
+    checked = 0
+    for spec in single_movers:
+        for seed in range(6):
+            res = jax.jit(spec.fn)(jax.random.PRNGKey(500 + seed), state)
+            assert res.ll_delta is not None, f"{spec.name}: no ll_delta"
+            ll_new = float(jax.jit(cond.post.log_likelihood_from_counts)(
+                res.state.cl_counts, res.state.conf_counts))
+            if ll_new == ll_old and float(res.ll_delta) == 0.0:
+                continue  # rejected proposal (sentinel zero delta)
+            np.testing.assert_allclose(
+                float(res.ll_delta), ll_new - ll_old, rtol=2e-4, atol=2e-3,
+                err_msg=f"{spec.name} seed {seed}",
+            )
+            checked += 1
+    assert checked >= 5, f"only {checked} informative proposals — vacuous"

@@ -190,3 +190,24 @@ def test_mc3_run(results_dir):
     assert swap_matrix.exists()
     m = np.loadtxt(swap_matrix)
     assert m.shape == (3, 3)
+
+
+def test_carried_refresh_in_sampling_loops(results_dir, monkeypatch):
+    """With the refresh cadence forced to every chunk, the single-chain and
+    MC3 loops run the exact carried-invariant recompute
+    (runner._refresh_states_jit) each sample and still produce clean
+    results — guards the refresh wiring itself."""
+    import sbayes_tpu.sampling.runner as runner_mod
+
+    monkeypatch.setattr(runner_mod, "REFRESH_EVERY_CHUNKS", 1)
+    out = _run(results_dir, custom={"mcmc": {"steps": 60, "samples": 6}},
+               name="refresh")
+    assert (out / "stats_K1_0.txt").exists()
+    out2 = _run(results_dir, custom={
+        "mcmc": {
+            "steps": 60, "samples": 6,
+            "warmup": {"warmup_steps": 10, "warmup_chains": 2},
+            "mc3": {"activate": True, "chains": 2, "swap_interval": 10},
+        }
+    }, name="refresh_mc3")
+    assert (out2 / "stats_K1_0.txt").exists()
