@@ -80,6 +80,21 @@ class Posterior:
         lh_conf = dirichlet_categorical_logpdf(conf_counts, jnp.asarray(c.conc_conf)).sum()
         return lh_cl + lh_conf
 
+    def log_likelihood_per_feature(self, cluster_counts, conf_counts):
+        """Per-(row, feature) collapsed log-likelihood terms — the exact-MH
+        building block: evaluating these for a candidate AND the current
+        counts and summing the elementwise DIFFERENCE makes unchanged
+        entries cancel exactly in f32 (identical inputs -> identical
+        floats), so the MH ratio sees only the true change instead of the
+        ulp(|log_lh|) quantization of differencing two ~1e7-magnitude
+        totals (the f64 reference never faced this; util.py:1373-1394)."""
+        c = self.consts
+        lh_cl = dirichlet_categorical_logpdf(
+            cluster_counts, jnp.asarray(c.conc_cluster)[None])      # (K, F)
+        lh_conf = dirichlet_categorical_logpdf(
+            conf_counts, jnp.asarray(c.conc_conf))                  # (C-1, G, F)
+        return lh_cl, lh_conf
+
     def log_likelihood(self, state):
         if self._pallas_loglh is not None:
             return self._pallas_loglh(state.clusters[None], state.source[None])[0]

@@ -92,16 +92,30 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
             return post.source_prior(cand.clusters, cand.weights, cand.source)
 
         def candidate_log_lh():
+            """(log_lh, exact d_ll). With candidate counts but no operator
+            delta (wide / source subset moves), the delta comes from the
+            per-feature diff-then-sum: unchanged count entries produce
+            bitwise-identical terms that cancel exactly, so the MH ratio
+            is exact instead of ulp(|log_lh|)-quantized at scale."""
             if sfp:
-                return jnp.zeros((), jnp.float32)
+                z = jnp.zeros((), jnp.float32)
+                return z, z
             if ll_delta is not None:
-                return old_state.log_lh + ll_delta
+                return old_state.log_lh + ll_delta, ll_delta
+            if counts is not None and old_state.cl_counts is not None:
+                ncl, nconf = post.log_likelihood_per_feature(*counts)
+                ocl, oconf = post.log_likelihood_per_feature(
+                    old_state.cl_counts, old_state.conf_counts)
+                d = (ncl - ocl).sum() + (nconf - oconf).sum()
+                return old_state.log_lh + d, d
             if counts is not None:
-                return post.log_likelihood_from_counts(*counts)
-            return post.log_likelihood(cand)
+                ll = post.log_likelihood_from_counts(*counts)
+            else:
+                ll = post.log_likelihood(cand)
+            return ll, ll - old_state.log_lh
 
         if spec.changes == "clusters":
-            ll = candidate_log_lh()
+            ll, d_ll = candidate_log_lh()
             # weights untouched by every cluster-changing operator: the
             # weights prior carries over from the old state
             # Carried (K, 3) geo aggregates: the operator re-derived only
@@ -119,11 +133,12 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
             )
         elif spec.changes == "source":
             # clusters & weights untouched: size/geo/weights priors carry over
-            ll = candidate_log_lh()
+            ll, d_ll = candidate_log_lh()
             pp = old_state.prior_parts.at[PRIOR_SOURCE].set(candidate_source_prior())
         elif spec.changes == "weights":
             # the collapsed likelihood does not involve the weights
             ll = old_state.log_lh
+            d_ll = jnp.zeros((), jnp.float32)
             wp = post.weights_prior(cand.weights)
             sp = post.source_prior(cand.clusters, cand.weights, cand.source)
             pp = old_state.prior_parts.at[PRIOR_WEIGHTS].set(wp).at[PRIOR_SOURCE].set(sp)
@@ -136,12 +151,6 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
         if sp_delta is not None:
             d_parts = d_parts.at[PRIOR_SOURCE].set(sp_delta)
         d_prior = d_parts.sum()
-        if sfp or spec.changes == "weights":
-            d_ll = jnp.zeros((), jnp.float32)
-        elif ll_delta is not None:
-            d_ll = ll_delta
-        else:
-            d_ll = ll - old_state.log_lh
         return cand._replace(log_lh=ll, log_prior=pp.sum(), prior_parts=pp), d_ll, d_prior
 
     def make_branch(spec: OperatorSpec):
