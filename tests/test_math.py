@@ -125,3 +125,34 @@ def test_sample_categorical_onehot_distribution(rng):
     freq = np.asarray(draws).mean(0)
     np.testing.assert_allclose(freq, np.asarray(p), atol=0.03)
     assert np.all(np.asarray(draws).sum(-1) == 1)
+
+
+def test_dirichlet_categorical_delta_matches_full_difference(rng):
+    """dirichlet_categorical_delta == logpdf(counts+d) - logpdf(counts)
+    summed, for random unit count moves (at most one +1 and one -1 per
+    feature), including no-op features and a batch axis."""
+    K, F, S = 3, 11, 4
+    counts = rng.integers(0, 9, size=(K, F, S)).astype(np.float64)
+    a = rng.uniform(0.2, 2.0, size=(K, F, S))
+    # random unit moves: per (k, f) pick add-state and remove-state
+    d = np.zeros((K, F, S))
+    for k in range(K):
+        for f in range(F):
+            kind = rng.integers(0, 4)  # 0: none, 1: add, 2: remove, 3: move
+            s_add, s_rm = rng.choice(S, size=2, replace=False)
+            if kind in (1, 3):
+                d[k, f, s_add] += 1
+            if kind in (2, 3) and counts[k, f, s_rm] >= 1:
+                d[k, f, s_rm] -= 1
+
+    def full(c):
+        n = c.sum(-1)
+        sum_a = a.sum(-1)
+        series = (sp_gammaln(c + a) - sp_gammaln(a)).sum(-1)
+        return (sp_gammaln(sum_a) - sp_gammaln(n + sum_a) + series).sum()
+
+    want = full(counts + d) - full(counts)
+    got = m.dirichlet_categorical_delta(
+        jnp.asarray(counts, jnp.float32), jnp.asarray(a, jnp.float32),
+        jnp.asarray(d, jnp.float32)).sum()
+    np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-4)
