@@ -59,20 +59,18 @@ def probe_small(n_objects=1024, n_features=512, fc=128):
     counts = (state.cl_counts, state.conf_counts)
 
     def run_pallas(state):
-        return fact._log_marginal_with_without(
+        return fact._cluster_log_odds(
             state, 1, jnp.ones(c.N, bool), counts=counts)
 
     t0 = time.perf_counter()
-    m0, m1 = jax.jit(run_pallas)(state)
-    jax.block_until_ready((m0, m1))
+    m = jax.jit(run_pallas)(state)
+    jax.block_until_ready(m)
     print(f"pallas compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
 
     fact._pm_cache = None  # disable -> XLA tiled path
-    x0, x1 = jax.jit(run_pallas)(state)
-    jax.block_until_ready((x0, x1))
-    # the pallas path emits the signed log-odds (0, diff); only the
-    # difference is contractual (see _log_marginal_with_without)
-    gap = float(jnp.max(jnp.abs((m1 - m0) - (x1 - x0)) / (jnp.abs(x1 - x0) + 1)))
+    x = jax.jit(run_pallas)(state)
+    jax.block_until_ready(x)
+    gap = float(jnp.max(jnp.abs(m - x) / (jnp.abs(x) + 1)))
     print(f"parity max rel gap (log-odds): {gap:.2e}", flush=True)
     assert gap < 2e-4, "PARITY FAIL"
 
@@ -163,8 +161,8 @@ def probe_stages(n_objects=10_000, n_features=5_000, n_chains=2):
     avail = jnp.ones(c.N, bool)
 
     def marg_ratio(state):
-        return fact._log_marginal_with_without(
-            state, 1, avail, counts=(state.cl_counts, state.conf_counts))[1]
+        return fact._cluster_log_odds(
+            state, 1, avail, counts=(state.cl_counts, state.conf_counts))
 
     def marg_post(state):
         # marginal + geo + sigmoid — everything a grow/shrink proposal needs

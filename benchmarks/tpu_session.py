@@ -49,9 +49,13 @@ def main():
             status = f"rc={p.returncode}"
             body = p.stdout + ("\n[stderr]\n" + p.stderr if p.returncode else "")
         except subprocess.TimeoutExpired as e:
+            # on timeout stdout/stderr are BYTES (no text decoding happened)
             status = "TIMEOUT"
-            body = (e.stdout or "") + "\n[stderr]\n" + (e.stderr or "")
-            body = body if isinstance(body, str) else body.decode()
+
+            def _s(x):
+                return x.decode(errors="replace") if isinstance(x, bytes) else (x or "")
+
+            body = _s(e.stdout) + "\n[stderr]\n" + _s(e.stderr)
         wall = time.time() - t0
         with OUT.open("a") as f:
             f.write(f"\n--- {name} ({status}, {wall:.0f}s)\n{body}\n")

@@ -96,13 +96,16 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
             delta (wide / source subset moves), the delta comes from the
             per-feature diff-then-sum: unchanged count entries produce
             bitwise-identical terms that cancel exactly, so the MH ratio
-            is exact instead of ulp(|log_lh|)-quantized at scale."""
+            is exact instead of ulp(|log_lh|)-quantized at scale.
+            Statically forced-accept branches (Gibbs sweeps) skip the
+            double evaluation — their d_ll never gates acceptance."""
             if sfp:
                 z = jnp.zeros((), jnp.float32)
                 return z, z
             if ll_delta is not None:
                 return old_state.log_lh + ll_delta, ll_delta
-            if counts is not None and old_state.cl_counts is not None:
+            if (counts is not None and old_state.cl_counts is not None
+                    and not getattr(spec, "forced_accept", False)):
                 ncl, nconf = post.log_likelihood_per_feature(*counts)
                 ocl, oconf = post.log_likelihood_per_feature(
                     old_state.cl_counts, old_state.conf_counts)

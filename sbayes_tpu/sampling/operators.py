@@ -197,10 +197,27 @@ class OperatorFactory:
         return normalize(self._posterior_counts(conc, residual_counts), axis=-1)
 
     def _log_marginal_with_without(self, state, i_cluster, avail, effect_proposal="gibbs",
-                                   counts=None, heat_effect_lh=False, ratio=True):
-        """log marginal lh of each object with/without cluster membership.
+                                   counts=None, heat_effect_lh=False):
+        """(log_m0, log_m1): (N,) ABSOLUTE log marginal lh of each object
+        without/with cluster membership, meaningful at ``avail`` — the
+        test-oracle form. Production proposal code wants
+        ``_cluster_log_odds`` instead (single log per element)."""
+        return self._marginal_impl(state, i_cluster, avail, effect_proposal,
+                                   counts, heat_effect_lh, ratio=False)
 
-        The collapsed membership odds used by the Gibbsish operators
+    def _cluster_log_odds(self, state, i_cluster, avail, effect_proposal="gibbs",
+                          counts=None, heat_effect_lh=False):
+        """(N,) signed log-odds ``log_m1 - log_m0`` of cluster membership —
+        what every proposal feeds into a sigmoid. Computed directly with
+        ONE log per (object, feature) element (Pallas ratio kernel / XLA
+        ratio form); returning only the difference makes accidental use
+        as an absolute marginal a shape error, not silent garbage."""
+        return self._marginal_impl(state, i_cluster, avail, effect_proposal,
+                                   counts, heat_effect_lh, ratio=True)
+
+    def _marginal_impl(self, state, i_cluster, avail, effect_proposal,
+                       counts, heat_effect_lh, ratio):
+        """The collapsed membership marginals used by the Gibbsish operators
         (reference: operators.py:1035-1095 ``compute_cluster_posterior``
         and :1420-1472 ``compute_raw_cluster_probs``): replace component-0
         likelihood by the proposal cluster effect, combine with
@@ -211,13 +228,8 @@ class OperatorFactory:
         set the body lax.maps over F-tiles (only the 'gibbs' effect
         proposal supports tiling; the residual proposals are full-F).
 
-        Returns (log_m0, log_m1): (N,) log marginals without/with the
-        cluster, meaningful at ``avail``. With ``ratio=True`` (the
-        default — every production caller feeds ``log_m1 - log_m0`` into
-        a sigmoid) both the Pallas and XLA paths compute the signed
-        log-odds directly with ONE log per (object, feature) element and
-        return (0, diff); ``ratio=False`` keeps the two absolute
-        marginals (the test oracle)."""
+        ratio=False -> (log_m0, log_m1) absolute marginals;
+        ratio=True  -> the (N,) signed log-odds alone."""
         c = self.consts
         cond = self.cond
 
@@ -259,7 +271,7 @@ class OperatorFactory:
                 in_cluster_now.astype(jnp.float32)[:, None], conf_eff_tl, invT,
             )
             if ratio:
-                return jnp.zeros_like(out), out / self.T
+                return out / self.T
             return out[0] / self.T, out[1] / self.T
 
         if not chunked:
@@ -322,8 +334,7 @@ class OperatorFactory:
                 r = (s_cur / jnp.maximum(s_flip, TINY)) \
                     * (z_flip / jnp.maximum(z_cur, TINY))
                 lr = jnp.log(jnp.maximum(r, TINY)).sum(-1)
-                diff = jnp.where(in_cluster_now, lr, -lr)
-                return jnp.zeros_like(diff), diff
+                return jnp.where(in_cluster_now, lr, -lr)
 
             lh_cur = s_cur / jnp.maximum(z_cur, TINY)
             lh_flip = s_flip / jnp.maximum(z_flip, TINY)
@@ -335,9 +346,11 @@ class OperatorFactory:
             return log_m0, log_m1
 
         if not chunked:
-            log_m0, log_m1 = slice_body(p_eff, feats, na, weights_t, cl_counts_t,
-                                        conf_counts_t, conc_cluster_t, conc_conf_t)
-            return log_m0 / self.T, log_m1 / self.T
+            out = slice_body(p_eff, feats, na, weights_t, cl_counts_t,
+                             conf_counts_t, conc_cluster_t, conc_conf_t)
+            if ratio:
+                return out / self.T
+            return out[0] / self.T, out[1] / self.T
 
         from sbayes_tpu.model.math import feature_tile
 
@@ -367,7 +380,10 @@ class OperatorFactory:
                 feature_tile(conc_conf, i, fc, axis=2),
             )
 
-        m0_t, m1_t = jax.lax.map(tile_body, jnp.arange(c.F // fc))
+        parts = jax.lax.map(tile_body, jnp.arange(c.F // fc))
+        if ratio:
+            return parts.sum(0) / self.T
+        m0_t, m1_t = parts
         return m0_t.sum(0) / self.T, m1_t.sum(0) / self.T
 
     def _cluster_posterior(self, state, i_cluster, avail, consider_geo, geo_scaler=1.0,
@@ -377,16 +393,16 @@ class OperatorFactory:
         if self.sample_from_prior or not gibbsish:
             return jnp.full((self.consts.N,), 0.5, jnp.float32)
 
-        log_m0, log_m1 = self._log_marginal_with_without(
+        odds = self._cluster_log_odds(
             state, i_cluster, avail, effect_proposal=effect_proposal, counts=counts,
             heat_effect_lh=heat_effect_lh,
         )
         if consider_geo:
             geo = self.cond.post.geo_prior_costs_per_object(
                 state.clusters, i_cluster, geo_agg=state.geo_agg)
-            log_m1 = log_m1 + geo / self.Tp / geo_scaler
+            odds = odds + geo / self.Tp / geo_scaler
 
-        p = jax.nn.sigmoid(log_m1 - log_m0)
+        p = jax.nn.sigmoid(odds)
         if additive_smoothing > 0:
             a = additive_smoothing
             p = (p + a) / (1 + 2 * a)
@@ -1412,6 +1428,9 @@ class OperatorFactory:
             use_sweep = (consts.F >= 512) if env is None else env == "1"
             if self.sample_from_prior or not use_sweep:
                 return op_rows
+            # statically forced-accept (always returns Q_GIBBS): the MH
+            # kernel can skip the exact-d_ll machinery for this branch
+            op_rows_sweep.forced_accept = True
             return op_rows_sweep
         fc = consts.feature_chunk
         return op_tiled if (fc is not None and fc < consts.F) else op_fused
@@ -1566,12 +1585,15 @@ class OperatorSpec(NamedTuple):
     fn: Callable
     changes: str = "clusters"
     parameters: dict = {}
-    """Which state group the operator can modify: 'clusters' (may touch
-    everything), 'source' (source array only) or 'weights' (weights only).
-    The MH kernel uses this STATICALLY to recompute only the posterior
-    terms the branch can change (e.g. weight moves never change the
-    collapsed likelihood) — the compile-time analogue of the reference's
-    cache DAG."""
+    forced_accept: bool = False
+    """``changes``: which state group the operator can modify: 'clusters'
+    (may touch everything), 'source' (source array only) or 'weights'
+    (weights only). The MH kernel uses this STATICALLY to recompute only
+    the posterior terms the branch can change (e.g. weight moves never
+    change the collapsed likelihood) — the compile-time analogue of the
+    reference's cache DAG. ``forced_accept``: the operator always returns
+    the Gibbs sentinel (accepted unconditionally), so the kernel skips
+    the exact-MH-delta evaluation for the branch."""
 
 
 def get_operator_schedule(
@@ -1629,4 +1651,6 @@ def get_operator_schedule(
 
     ops = [o for o in ops if o.weight > 0]
     total = sum(o.weight for o in ops)
-    return [o._replace(weight=o.weight / total) for o in ops]
+    return [o._replace(weight=o.weight / total,
+                       forced_accept=getattr(o.fn, "forced_accept", False))
+            for o in ops]

@@ -530,7 +530,11 @@ class SamplerRuntime:
             keys, stats, ones = self.shard_ensemble(
                 n_chains, jax.random.split(k_run, n_chains), stats, ones)
             carry = self.run_chunk(keys, states, stats, ones, ones, n_steps)
-            states = carry.state
+            # exact recompute before ranking: the race compares carried
+            # totals across chains, which accumulate f32 rounding per
+            # accepted move over the (chunk-refresh-free) warm-up
+            states = _refresh_states_jit(self.consts, self.sample_from_prior,
+                                         carry.state)
         best = int(jnp.argmax(states.log_lh))
         if logger:
             logger.info(
@@ -737,7 +741,9 @@ class MCMCSetup:
             )
             carry = rt.run_chunk(keys_rw, states_rw, stats_rw, ones_rw, ones_rw,
                                  cfg.warmup.warmup_steps)
-            states_rw = carry.state
+            # exact recompute before ranking (see SamplerRuntime.warmup)
+            states_rw = _refresh_states_jit(rt.consts, rt.sample_from_prior,
+                                            carry.state)
         ll_rw = np.asarray(states_rw.log_lh).reshape(R, W)
         best = ll_rw.argmax(axis=1)
         sel = jnp.asarray(best + np.arange(R) * W)

@@ -68,11 +68,11 @@ def _dense_marginal(cond, fact, state, i_cluster, heat_effect_lh):
 @pytest.mark.parametrize("i_cluster", [0, 1])
 def test_closed_form_matches_dense(setup, i_cluster, heat_effect_lh):
     model, cond, fact, state = setup
-    # absolute marginals (ratio=False, the test-oracle mode)
+    # absolute marginals (the test-oracle form)
     m0, m1 = jax.jit(
         lambda s: fact._log_marginal_with_without(
             s, i_cluster, jnp.ones(model.consts.N, bool),
-            heat_effect_lh=heat_effect_lh, ratio=False)
+            heat_effect_lh=heat_effect_lh)
     )(state)
     d0, d1 = jax.jit(
         lambda s: _dense_marginal(cond, fact, s, i_cluster, heat_effect_lh)
@@ -80,12 +80,11 @@ def test_closed_form_matches_dense(setup, i_cluster, heat_effect_lh):
     np.testing.assert_allclose(np.asarray(m0), np.asarray(d0), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(d1), rtol=2e-4, atol=2e-4)
 
-    # ratio mode (the production default): signed log-odds in one log
-    r0, r1 = jax.jit(
-        lambda s: fact._log_marginal_with_without(
+    # log-odds form (what production proposals consume): one log/element
+    odds = jax.jit(
+        lambda s: fact._cluster_log_odds(
             s, i_cluster, jnp.ones(model.consts.N, bool),
             heat_effect_lh=heat_effect_lh)
     )(state)
-    np.testing.assert_array_equal(np.asarray(r0), 0.0)
-    np.testing.assert_allclose(np.asarray(r1 - r0), np.asarray(d1 - d0),
+    np.testing.assert_allclose(np.asarray(odds), np.asarray(d1 - d0),
                                rtol=2e-4, atol=2e-4)

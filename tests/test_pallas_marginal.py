@@ -49,14 +49,18 @@ def test_pallas_marginal_matches_xla(setup, heat):
     avail = jnp.ones(model.consts.N, bool)
     counts = (state.cl_counts, state.conf_counts)
 
-    m0, m1 = fact._log_marginal_with_without(state, 1, avail, counts=counts,
-                                             heat_effect_lh=heat)
+    odds = fact._cluster_log_odds(state, 1, avail, counts=counts,
+                                  heat_effect_lh=heat)
     # reference: the XLA closed-form path (pallas disabled)
     fact._pm_cache = None
+    x_odds = fact._cluster_log_odds(state, 1, avail, counts=counts,
+                                    heat_effect_lh=heat)
     x0, x1 = fact._log_marginal_with_without(state, 1, avail, counts=counts,
                                              heat_effect_lh=heat)
     fact._pm_cache = False
-    np.testing.assert_allclose(np.asarray(m1 - m0), np.asarray(x1 - x0),
+    np.testing.assert_allclose(np.asarray(odds), np.asarray(x_odds),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(odds), np.asarray(x1 - x0),
                                rtol=2e-4, atol=2e-4)
 
 
@@ -93,7 +97,7 @@ def test_pallas_marginal_both_mode_matches_xla(setup, heat):
 
     fact._pm_cache = None
     x0, x1 = fact._log_marginal_with_without(state, 1, avail, counts=counts,
-                                             heat_effect_lh=heat, ratio=False)
+                                             heat_effect_lh=heat)
     fact._pm_cache = False
     np.testing.assert_allclose(np.asarray(m0) / fact.T, np.asarray(x0),
                                rtol=2e-4, atol=2e-4)
