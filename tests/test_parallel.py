@@ -176,3 +176,28 @@ def test_ess_and_rhat():
     bad = chains.copy()
     bad[0] += 10
     assert split_rhat(bad) > 1.5
+
+
+def test_sharded_refresh_equals_unsharded(small_runtime):
+    """The periodic carried-invariant refresh (_refresh_states_jit) under a
+    sharded chain batch produces bitwise the same carried values as the
+    single-device run — the refresh is a new jitted program over sharded
+    states, so its GSPMD lowering needs its own equivalence check."""
+    from sbayes_tpu.parallel.mesh import chain_mesh, shard_chain_batch
+    from sbayes_tpu.sampling.runner import _refresh_states_jit
+
+    rt = small_runtime
+    n_chains = 8
+    states = rt.init_chains(jax.random.PRNGKey(3), n_chains, shard=False)
+    ref = _refresh_states_jit(rt.consts, rt.sample_from_prior, states)
+
+    mesh = chain_mesh()
+    states_s = shard_chain_batch(rt.init_chains(jax.random.PRNGKey(3), n_chains,
+                                                shard=False), mesh)
+    with mesh:
+        got = _refresh_states_jit(rt.consts, rt.sample_from_prior, states_s)
+
+    np.testing.assert_array_equal(np.asarray(ref.log_lh), np.asarray(got.log_lh))
+    np.testing.assert_array_equal(np.asarray(ref.prior_parts),
+                                  np.asarray(got.prior_parts))
+    np.testing.assert_array_equal(np.asarray(ref.cl_counts), np.asarray(got.cl_counts))
