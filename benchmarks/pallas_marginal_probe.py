@@ -51,7 +51,8 @@ def probe_small(n_objects=1024, n_features=512, fc=128):
 
     model, config = build(n_objects, n_features, pallas=True, fc=fc)
     c = model.consts
-    assert c.features_tl is not None, "pallas layout not built"
+    assert (c.features_tl is not None or c.features_idx_tl is not None), \
+        "pallas layout not built"
     cond = Conditionals(Posterior(c), 1.0, 1.0)
     fact = OperatorFactory(cond)
     state = generate_prior_sample(jax.random.PRNGKey(0), cond)

@@ -155,6 +155,11 @@ class ModelConstants:
     # disabled (small models / env off).
     features_tl: Any = None
     na_tl: Any = None
+    # Compressed alternative: (N, T*fc) int8 state indices (S = NA),
+    # expanded in-kernel — 1 byte/element instead of S one-hot bf16
+    # values. Mutually exclusive with features_tl (the kernel prefers
+    # this when present). SBAYES_TPU_PALLAS_IDX=1/0 overrides.
+    features_idx_tl: Any = None
 
     # misc
     dtype: Any = np.float32
@@ -325,15 +330,25 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
         import jax as _jax
 
         _pm_on = _jax.default_backend() not in ("cpu",)
+    features_idx_tl = None
     if feature_chunk is not None and _pm_on:
         from sbayes_tpu.ops.pallas_marginal import (
-            na_layout_host, pick_row_block, tile_layout_host,
+            idx_layout_host, na_layout_host, pick_row_block, tile_layout_host,
         )
 
         if pick_row_block(N) is not None:
-            features_tl = jnp.asarray(
-                tile_layout_host(features.values, S), dtype=feat_dtype
-            )
+            # int8 index layout (1 byte/element, expanded in-kernel) vs
+            # one-hot bf16 tiles (S*2 bytes/element). Opt-in via
+            # SBAYES_TPU_PALLAS_IDX=1 until measured on real TPU.
+            _idx_on = _os.environ.get("SBAYES_TPU_PALLAS_IDX") == "1"
+            if _idx_on and S < 127:
+                features_idx_tl = jnp.asarray(
+                    idx_layout_host(features.values, S), dtype=jnp.int8
+                )
+            else:
+                features_tl = jnp.asarray(
+                    tile_layout_host(features.values, S), dtype=feat_dtype
+                )
             na_tl = jnp.asarray(na_layout_host(features.na_values),
                                 dtype=jnp.bfloat16)
 
@@ -365,6 +380,7 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
         max_size=int(min(sp_cfg.max, N)),
         feature_chunk=feature_chunk,
         features_tl=features_tl,
+        features_idx_tl=features_idx_tl,
         na_tl=na_tl,
     )
 
@@ -382,7 +398,7 @@ _MC_ARRAY_FIELDS = (
     "features", "na", "applicable", "n_states_per_feature", "groups",
     "group_valid", "hc_conf", "conc_cluster", "unif_conc", "conc_conf",
     "conc_weights", "cost_matrix", "adjacency", "locations",
-    "features_tl", "na_tl",
+    "features_tl", "na_tl", "features_idx_tl",
 )
 _MC_STATIC_FIELDS = (
     "shapes", "conf_names", "group_names", "n_groups", "weights_prior_uniform",

@@ -150,3 +150,56 @@ def test_pallas_jump_matches_xla(setup):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(float(res_pallas.log_q_back), float(res_xla.log_q_back),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_idx_layout_matches_onehot(monkeypatch):
+    """The int8 index feature layout (in-kernel expansion) reproduces the
+    one-hot bf16 tile layout's log-odds, including NA handling."""
+    monkeypatch.setenv("SBAYES_TPU_FEATURE_CHUNK", "4")
+    monkeypatch.setenv("SBAYES_TPU_PALLAS_MARGINAL", "1")
+    monkeypatch.setenv("SBAYES_TPU_PALLAS_INTERPRET", "1")
+
+    from sbayes_tpu.model.model import Model
+    from sbayes_tpu.model.posterior import Posterior
+    from sbayes_tpu.sampling.conditionals import Conditionals
+    from sbayes_tpu.sampling.operators import OperatorFactory
+    from sbayes_tpu.sampling.prior_sampling import generate_prior_sample
+    from sbayes_tpu.testing import synthetic_config, synthetic_data
+
+    data = synthetic_data(n_objects=48, n_features=8, n_states=3,
+                          n_families=2, seed=5)
+    config = synthetic_config(n_clusters=2, geo_prior="uniform")
+
+    def build(idx: bool):
+        monkeypatch.setenv("SBAYES_TPU_PALLAS_IDX", "1" if idx else "0")
+        model = Model(data, config.model)
+        cond = Conditionals(Posterior(model.consts), 1.2, 1.5)
+        fact = OperatorFactory(cond)
+        state = generate_prior_sample(jax.random.PRNGKey(4), cond)
+        state = cond.post.fill_state(state)
+        return model, fact, state
+
+    model_i, fact_i, state_i = build(idx=True)
+    assert model_i.consts.features_idx_tl is not None
+    assert model_i.consts.features_tl is None
+    model_o, fact_o, state_o = build(idx=False)
+    assert model_o.consts.features_tl is not None
+
+    avail = jnp.ones(model_i.consts.N, bool)
+    for heat in (False, True):
+        odds_i = fact_i._cluster_log_odds(
+            state_i, 1, avail, counts=(state_i.cl_counts, state_i.conf_counts),
+            heat_effect_lh=heat)
+        odds_o = fact_o._cluster_log_odds(
+            state_o, 1, avail, counts=(state_o.cl_counts, state_o.conf_counts),
+            heat_effect_lh=heat)
+        np.testing.assert_allclose(np.asarray(odds_i), np.asarray(odds_o),
+                                   rtol=2e-4, atol=2e-4)
+
+    # both-mode (jump) variant too
+    m0_i, m1_i = fact_i._log_marginal_with_without(
+        state_i, 0, avail, counts=(state_i.cl_counts, state_i.conf_counts))
+    m0_o, m1_o = fact_o._log_marginal_with_without(
+        state_o, 0, avail, counts=(state_o.cl_counts, state_o.conf_counts))
+    np.testing.assert_allclose(np.asarray(m0_i), np.asarray(m0_o), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(m1_i), np.asarray(m1_o), rtol=2e-4, atol=2e-4)
