@@ -24,12 +24,19 @@ OUT = ROOT / "benchmarks" / "tpu_session_results.txt"
 
 STAGES = {
     "parity": [sys.executable, "benchmarks/pallas_marginal_probe.py", "small"],
+    "parity_idx": [sys.executable, "benchmarks/pallas_marginal_probe.py", "small"],
     "stages": [sys.executable, "benchmarks/pallas_marginal_probe.py", "stages"],
+    "stages_idx": [sys.executable, "benchmarks/pallas_marginal_probe.py", "stages"],
     "scale": [sys.executable, "benchmarks/pallas_marginal_probe.py", "scale"],
     "chains": [sys.executable, "benchmarks/chain_sweep.py"],
     "bench": [sys.executable, "bench.py"],
 }
-TIMEOUTS = {"parity": 600, "stages": 900, "scale": 1500, "chains": 1800, "bench": 2400}
+STAGE_ENV = {
+    "parity_idx": {"SBAYES_TPU_PALLAS_IDX": "1"},
+    "stages_idx": {"SBAYES_TPU_PALLAS_IDX": "1"},
+}
+TIMEOUTS = {"parity": 600, "parity_idx": 600, "stages": 900, "stages_idx": 900,
+            "scale": 1500, "chains": 1800, "bench": 2400}
 
 
 def main():
@@ -41,10 +48,11 @@ def main():
         f.write(f"\n===== session {time.strftime('%Y-%m-%d %H:%M:%S')} =====\n")
     for name in names:
         cmd = STAGES[name]
+        stage_env = {**env, **STAGE_ENV.get(name, {})}
         print(f"--- stage {name}: {' '.join(cmd)}", flush=True)
         t0 = time.time()
         try:
-            p = subprocess.run(cmd, cwd=ROOT, env=env, capture_output=True,
+            p = subprocess.run(cmd, cwd=ROOT, env=stage_env, capture_output=True,
                                text=True, timeout=TIMEOUTS[name])
             status = f"rc={p.returncode}"
             body = p.stdout + ("\n[stderr]\n" + p.stderr if p.returncode else "")
