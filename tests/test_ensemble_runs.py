@@ -34,3 +34,25 @@ def test_cli_multi_run_ensemble(tmp_path):
     # runs are independent: their trajectories differ
     assert not np.allclose(lls[0], lls[1])
     assert not np.allclose(lls[1], lls[2])
+
+
+def test_cli_multi_run_ensemble_with_refresh(tmp_path, monkeypatch):
+    """Ensemble loop with the carried-invariant refresh forced to every
+    chunk: exercises _refresh_states_jit over the sharded run batch."""
+    import sbayes_tpu.sampling.runner as runner_mod
+    from sbayes_tpu.cli import main
+
+    monkeypatch.setattr(runner_mod, "REFRESH_EVERY_CHUNKS", 1)
+    main(
+        config=FIXTURES / "config.yaml",
+        experiment_name="ensr",
+        custom_settings={
+            "results": {"path": str(tmp_path)},
+            "mcmc": {"steps": 60, "samples": 6, "runs": 2,
+                     "warmup": {"warmup_steps": 20, "warmup_chains": 2}},
+        },
+        processes=1,
+        resume=False,
+    )
+    for r in range(2):
+        assert (tmp_path / "ensr" / "K1" / f"stats_K1_{r}.txt").exists()
