@@ -170,8 +170,12 @@ def _marginal_kernel(
 
         def state_select(eff):
             """sum_s onehot(idx)_s * eff[:, s-chunk] via S lane selects —
-            the on-the-fly expansion of the int8 index layout (eff rows
-            broadcast over the nb axis when given as (1, S*FCP))."""
+            the on-the-fly expansion of the int8 index layout. A (1, S*FCP)
+            effect row is broadcast over the nb axis FIRST (full-row
+            broadcast, lane offset 0 — Mosaic rejects broadcasting a
+            lane-offset slice of a 1-row block), then lane-sliced."""
+            if eff.shape[0] == 1:
+                eff = jnp.broadcast_to(eff, (idx.shape[0], eff.shape[1]))
             acc = jnp.where(idx == 0, eff[:, 0:FCP], 0.0)
             for s in range(1, S):
                 acc = acc + jnp.where(idx == s, eff[:, s * FCP:(s + 1) * FCP], 0.0)

@@ -29,6 +29,7 @@ def synthetic_data_large(
 
     cache = None
     if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
         key = f"scale_{n_objects}x{n_features}x{n_states}_fam{n_families}_s{seed}.npz"
         cache = os.path.join(cache_dir, key)
         if os.path.exists(cache):
