@@ -342,6 +342,7 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
             # SBAYES_TPU_PALLAS_IDX=1 until measured on real TPU.
             _idx_on = _os.environ.get("SBAYES_TPU_PALLAS_IDX") == "1"
             if _idx_on and S < 127:
+                # NA rides in the index layout (sentinel S): no na_tl.
                 features_idx_tl = jnp.asarray(
                     idx_layout_host(features.values, S), dtype=jnp.int8
                 )
@@ -349,8 +350,8 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
                 features_tl = jnp.asarray(
                     tile_layout_host(features.values, S), dtype=feat_dtype
                 )
-            na_tl = jnp.asarray(na_layout_host(features.na_values),
-                                dtype=jnp.bfloat16)
+                na_tl = jnp.asarray(na_layout_host(features.na_values),
+                                    dtype=jnp.bfloat16)
 
     return ModelConstants(
         shapes=shapes,

@@ -136,7 +136,8 @@ def _marginal_kernel(
         [invT_ref]       (1, 1) f32 SMEM: extra heating exponent for lh0
         feats_ref        (nb, S*FCP) bf16/f32 tile (state-major chunks),
                            or (nb, FCP) int8 state indices when idx_feats
-        na_ref           (nb, FCP) f32 (1 = NA)
+        na_ref           (nb, FCP) f32 (1 = NA); ABSENT when idx_feats
+                           (sentinel S in the index layout encodes NA)
         peff_ref         (1 or 2, S*FCP) f32 cluster effects, tiled layout:
                            ratio=False: row 0 pairs with hc (the "cur"
                            mixture), row 1 with hc_flip (the jump passes
@@ -154,19 +155,23 @@ def _marginal_kernel(
     """
     if heat:
         invT_ref, *refs = refs
-    (feats_ref, na_ref, peff_ref, wh_ref, hc_ref, hcf_ref, incl_ref,
-     *rest) = refs
+    if idx_feats:
+        # NA rides in the index layout itself (sentinel S marks NA and
+        # padding) — no separate NA stream.
+        feats_ref, peff_ref, wh_ref, hc_ref, hcf_ref, incl_ref, *rest = refs
+    else:
+        (feats_ref, na_ref, peff_ref, wh_ref, hc_ref, hcf_ref, incl_ref,
+         *rest) = refs
     group_refs = rest[:n_conf]           # (nb, G) f32 each
     ceff_refs = rest[n_conf:2 * n_conf]  # (G, S*FCP) f32 each
     out_ref = rest[2 * n_conf]           # (nb, 2) or (nb, 1) f32
 
     j = pl.program_id(1)
 
-    na = na_ref[...].astype(jnp.float32)            # (nb, FCP)
-    not_na = 1.0 - na
-
     if idx_feats:
         idx = feats_ref[...].astype(jnp.int32)      # (nb, FCP)
+        na = (idx == S).astype(jnp.float32)         # (nb, FCP)
+        not_na = 1.0 - na
 
         def state_select(eff):
             """sum_s onehot(idx)_s * eff[:, s-chunk] via S lane selects —
@@ -181,6 +186,8 @@ def _marginal_kernel(
                 acc = acc + jnp.where(idx == s, eff[:, s * FCP:(s + 1) * FCP], 0.0)
             return acc
     else:
+        na = na_ref[...].astype(jnp.float32)        # (nb, FCP)
+        not_na = 1.0 - na
         feats = feats_ref[...].astype(jnp.float32)  # (nb, S*FCP)
 
         def state_select(eff):
@@ -305,28 +312,29 @@ def make_pallas_marginal(consts, interpret: bool = False,
         (C, T*FCP) f32 (heated, padded with 1s); hc/hc_flip: (N, C) f32;
         incl: (N, 1) f32; conf_eff_tl: (C-1, G, T*S*FCP) f32; invT:
         scalar f32 (heat variants only)."""
-        if idx_feats:
-            feats_tl = jnp.asarray(consts.features_idx_tl)
-            feats_spec = pl.BlockSpec((nb, FCP), lambda i, j: (i, j))
-        else:
-            feats_tl = jnp.asarray(consts.features_tl)
-            feats_spec = pl.BlockSpec((nb, S * FCP), lambda i, j: (i, j))
-        na_tl = jnp.asarray(consts.na_tl)
-
         in_specs, args = [], []
         if heat:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))      # invT
             args.append(invT.reshape(1, 1))
+        if idx_feats:
+            # NA is encoded as sentinel S inside the index layout: no
+            # separate NA stream (halves the idx path's HBM traffic).
+            in_specs.append(pl.BlockSpec((nb, FCP), lambda i, j: (i, j)))
+            args.append(jnp.asarray(consts.features_idx_tl))
+        else:
+            in_specs += [
+                pl.BlockSpec((nb, S * FCP), lambda i, j: (i, j)),       # feats
+                pl.BlockSpec((nb, FCP), lambda i, j: (i, j)),           # na
+            ]
+            args += [jnp.asarray(consts.features_tl), jnp.asarray(consts.na_tl)]
         in_specs += [
-            feats_spec,                                                 # feats
-            pl.BlockSpec((nb, FCP), lambda i, j: (i, j)),               # na
             pl.BlockSpec((n_eff_rows, S * FCP), lambda i, j: (0, j)),   # p_eff
             pl.BlockSpec((C, FCP), lambda i, j: (0, j)),                # wh
             pl.BlockSpec((nb, C), lambda i, j: (i, 0)),                 # hc
             pl.BlockSpec((nb, C), lambda i, j: (i, 0)),                 # hc_flip
             pl.BlockSpec((nb, 1), lambda i, j: (i, 0)),                 # incl
         ]
-        args += [feats_tl, na_tl, p_eff_tl, wh_tl, hc, hc_flip, incl]
+        args += [p_eff_tl, wh_tl, hc, hc_flip, incl]
         for i_c in range(n_conf):
             in_specs.append(pl.BlockSpec((nb, G), lambda i, j: (i, 0)))
             args.append(jnp.asarray(consts.groups[i_c]).T)
