@@ -156,28 +156,32 @@ def probe_stages(n_objects=10_000, n_features=5_000, n_chains=2):
     rt = SamplerRuntime(model, cfg, sample_from_prior=False)
     states = rt.init_chains(jax.random.PRNGKey(0), n_chains)
     jax.block_until_ready(states.clusters)
-    cond = Conditionals(Posterior(c), 1.0, 1.0)
-    fact = OperatorFactory(cond)
 
     avail = jnp.ones(c.N, bool)
 
-    def marg_ratio(state):
+    # consts is an EXPLICIT jit argument (like SamplerRuntime's plumbing):
+    # closure-captured feature tiles would be baked into the HLO as
+    # literals, which the remote-compile tunnel rejects at 10k x 5k
+    # (HTTP 413) — cf. model/constants.py "Place the big arrays" note.
+    def marg_ratio(consts, state):
+        fact = OperatorFactory(Conditionals(Posterior(consts), 1.0, 1.0))
         return fact._cluster_log_odds(
             state, 1, avail, counts=(state.cl_counts, state.conf_counts))
 
-    def marg_post(state):
+    def marg_post(consts, state):
         # marginal + geo + sigmoid — everything a grow/shrink proposal needs
+        fact = OperatorFactory(Conditionals(Posterior(consts), 1.0, 1.0))
         return fact._cluster_posterior(
             state, 1, avail, consider_geo=False,
             counts=(state.cl_counts, state.conf_counts))
 
     def timeit(label, fn):
-        j = jax.jit(jax.vmap(fn))
-        jax.block_until_ready(j(states))
+        j = jax.jit(jax.vmap(fn, in_axes=(None, 0)))
+        jax.block_until_ready(j(c, states))
         t0 = time.perf_counter()
         reps = 10
         for _ in range(reps):
-            out = j(states)
+            out = j(c, states)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
         print(f"  {label:44s} {dt*1e3:8.2f} ms", flush=True)

@@ -172,30 +172,27 @@ def _marginal_kernel(
         idx = feats_ref[...].astype(jnp.int32)      # (nb, FCP)
         na = (idx == S).astype(jnp.float32)         # (nb, FCP)
         not_na = 1.0 - na
-
-        def state_select(eff):
-            """sum_s onehot(idx)_s * eff[:, s-chunk] via S lane selects —
-            the on-the-fly expansion of the int8 index layout. A (1, S*FCP)
-            effect row is broadcast over the nb axis FIRST (full-row
-            broadcast, lane offset 0 — Mosaic rejects broadcasting a
-            lane-offset slice of a 1-row block), then lane-sliced."""
-            if eff.shape[0] == 1:
-                eff = jnp.broadcast_to(eff, (idx.shape[0], eff.shape[1]))
-            acc = jnp.where(idx == 0, eff[:, 0:FCP], 0.0)
-            for s in range(1, S):
-                acc = acc + jnp.where(idx == s, eff[:, s * FCP:(s + 1) * FCP], 0.0)
-            return acc
+        # In-register expansion of the int8 index layout to the one-hot
+        # tile (S lane-aligned compares + a lane concat, once per tile);
+        # the mixture math below is then IDENTICAL to the one-hot path.
+        # (A per-state `where(idx==s, eff[:, s-chunk], 0)` formulation is
+        # NOT Mosaic-compilable when eff is a broadcast (1, S*FCP) row:
+        # the broadcast folds through the lane-offset slice and trips
+        # "Invalid input layout" on vector.broadcast.)
+        feats = jnp.concatenate(
+            [(idx == s).astype(jnp.float32) for s in range(S)], axis=1
+        )                                           # (nb, S*FCP)
     else:
         na = na_ref[...].astype(jnp.float32)        # (nb, FCP)
         not_na = 1.0 - na
         feats = feats_ref[...].astype(jnp.float32)  # (nb, S*FCP)
 
-        def state_select(eff):
-            x = feats * eff
-            acc = x[:, 0:FCP]
-            for s in range(1, S):
-                acc = acc + x[:, s * FCP:(s + 1) * FCP]
-            return acc
+    def state_select(eff):
+        x = feats * eff
+        acc = x[:, 0:FCP]
+        for s in range(1, S):
+            acc = acc + x[:, s * FCP:(s + 1) * FCP]
+        return acc
 
     # component-0: proposal cluster effects (+ optional extra heating,
     # compiled out entirely for the heat=False variants)
