@@ -520,96 +520,21 @@ class OperatorFactory:
                 counts=counts,
             )
 
-        def grow(key, state, i_cluster, counts):
-            k_obj, k_src = jax.random.split(key)
-            cluster = state.clusters[i_cluster]
-            cand = self._grow_candidates(state.clusters, i_cluster, neighbourhood)
-            size = cluster.sum()
-
-            p_post = _heat_prob(posterior(state, i_cluster, cand, counts), self.T)
-            p_vec = jnp.where(cand, p_post, 0.0)
-            total = p_vec.sum()
-            rejected = (~jnp.any(cand)) | (size >= max_size) | (total <= 0)
-
-            obj = _masked_categorical(k_obj, p_vec, cand | ~jnp.any(cand))
-            p_add = p_vec / jnp.maximum(total, TINY)
-
-            clusters_new = state.clusters.at[i_cluster, obj].set(True)
-            rs = cond.gibbs_resample_source_rows(
-                k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
-                i_cluster, counts)
-            cl_new, conf_new, ll_d = self._delta_counts(
-                counts, obj, state.clusters, clusters_new,
-                state.source[obj], rs.source[obj])
-            counts_new = (cl_new, conf_new)
-            state_new = self._put_counts(
-                state._replace(
-                    clusters=clusters_new, source=rs.source,
-                    geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster),
-                ), counts_new)
-
-            # Backward: removal probability in the new state
-            shrink_cand = clusters_new[i_cluster]
-            p_back = _heat_prob(posterior(state_new, i_cluster, shrink_cand, counts_new), self.T)
-            p_rm = jnp.where(shrink_cand, 1.0 - p_back, 0.0)
-            p_remove = p_rm / jnp.maximum(p_rm.sum(), TINY)
-
-            log_q = jnp.log(jnp.maximum(p_add[obj], TINY)) + rs.log_q + jnp.log(p_grow)
-            log_q_back = (
-                jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q_back + jnp.log(1 - p_grow)
-            )
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
-                           source_prior_delta=rs.source_prior_delta,
-                           ll_delta=ll_d)
-            return _select_result(rejected,
-                                  _reject(state, with_delta=True, with_ll_delta=True),
-                                  res)
-
-        def shrink(key, state, i_cluster, counts):
-            k_obj, k_src = jax.random.split(key)
-            cluster = state.clusters[i_cluster]
-            n_cand = cluster.sum()
-
-            p_post = _heat_prob(posterior(state, i_cluster, cluster, counts), self.T)
-            x = jnp.where(cluster, 1.0 - p_post, 0.0)
-            rejected = (n_cand <= min_size) | (x.sum() <= 0)
-            p_remove = x / jnp.maximum(x.sum(), TINY)
-
-            obj = _masked_categorical(k_obj, x, cluster)
-            clusters_new = state.clusters.at[i_cluster, obj].set(False)
-            rs = cond.gibbs_resample_source_rows(
-                k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
-                i_cluster, counts)
-            cl_new, conf_new, ll_d = self._delta_counts(
-                counts, obj, state.clusters, clusters_new,
-                state.source[obj], rs.source[obj])
-            counts_new = (cl_new, conf_new)
-            state_new = self._put_counts(
-                state._replace(
-                    clusters=clusters_new, source=rs.source,
-                    geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster),
-                ), counts_new)
-
-            # Backward: add probability in the new state
-            grow_cand = self._grow_candidates(clusters_new, i_cluster, neighbourhood)
-            rejected = rejected | ~grow_cand[obj]
-            p_back = _heat_prob(posterior(state_new, i_cluster, grow_cand, counts_new), self.T)
-            pb_vec = jnp.where(grow_cand, p_back, 0.0)
-            p_add = pb_vec / jnp.maximum(pb_vec.sum(), TINY)
-
-            log_q = jnp.log(jnp.maximum(p_remove[obj], TINY)) + rs.log_q + jnp.log(1 - p_grow)
-            log_q_back = jnp.log(jnp.maximum(p_add[obj], TINY)) + rs.log_q_back + jnp.log(p_grow)
-            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
-                           source_prior_delta=rs.source_prior_delta,
-                           ll_delta=ll_d)
-            return _select_result(rejected,
-                                  _reject(state, with_delta=True, with_ll_delta=True),
-                                  res)
-
         def op(key, state):
-            k_c, k_g, k_branch = jax.random.split(key, 3)
+            # Grow and shrink share ONE implementation with the branch as
+            # DATA (jnp.where selections), not as a lax.cond: under vmap a
+            # cond lowers to both-branches-execute + select, and the two
+            # branches' expensive parts are identical computations — the
+            # forward membership marginal does not depend on the candidate
+            # mask, and the rows-resample / count-delta / geo-update chain
+            # only differs in its (traced) inputs. The cond form paid 4
+            # marginal passes + 2 resample/delta chains per step where 2
+            # passes + 1 chain suffice. Proposal semantics are unchanged
+            # from the reference's grow/shrink pair (operators.py:1113-1235).
+            k_c, k_g, k_obj, k_src = jax.random.split(key, 4)
             i_cluster = jax.random.randint(k_c, (), 0, K)
-            size = state.clusters[i_cluster].sum()
+            cluster = state.clusters[i_cluster]
+            size = cluster.sum()
             at_min = size == min_size
             at_max = size == max_size
             boundary = at_min | at_max
@@ -617,8 +542,67 @@ class OperatorFactory:
 
             counts = self._state_counts(state)
             state = self._put_counts(state, counts)
-            res = lax.cond(do_grow, lambda: grow(k_branch, state, i_cluster, counts),
-                           lambda: shrink(k_branch, state, i_cluster, counts))
+
+            # Forward marginal (one pass; grow and shrink select from it)
+            grow_cand = self._grow_candidates(state.clusters, i_cluster, neighbourhood)
+            p_post = _heat_prob(posterior(state, i_cluster, grow_cand, counts), self.T)
+            p_vec = jnp.where(
+                do_grow,
+                jnp.where(grow_cand, p_post, 0.0),
+                jnp.where(cluster, 1.0 - p_post, 0.0),
+            )
+            total = p_vec.sum()
+            fwd_mask = jnp.where(do_grow, grow_cand, cluster)
+            obj = _masked_categorical(k_obj, p_vec, fwd_mask | ~jnp.any(fwd_mask))
+            p_fwd = p_vec / jnp.maximum(total, TINY)
+            rejected = jnp.where(
+                do_grow,
+                (~jnp.any(grow_cand)) | (size >= max_size) | (total <= 0),
+                (size <= min_size) | (total <= 0),
+            )
+
+            clusters_new = state.clusters.at[i_cluster, obj].set(do_grow)
+            rs = cond.gibbs_resample_source_rows(
+                k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
+                i_cluster, counts)
+            cl_new, conf_new, ll_d = self._delta_counts(
+                counts, obj, state.clusters, clusters_new,
+                state.source[obj], rs.source[obj])
+            counts_new = (cl_new, conf_new)
+            state_new = self._put_counts(
+                state._replace(
+                    clusters=clusters_new, source=rs.source,
+                    geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster),
+                ), counts_new)
+
+            # Backward marginal (one pass on the selected new state).
+            # Grow's reverse is a removal from clusters_new; shrink's is an
+            # add over the new state's grow candidates (which must contain
+            # the removed object, else reject — reference parity).
+            back_grow_cand = self._grow_candidates(clusters_new, i_cluster, neighbourhood)
+            rejected = rejected | (~do_grow & ~back_grow_cand[obj])
+            p_back = _heat_prob(
+                posterior(state_new, i_cluster, clusters_new[i_cluster], counts_new),
+                self.T)
+            pb_vec = jnp.where(
+                do_grow,
+                jnp.where(clusters_new[i_cluster], 1.0 - p_back, 0.0),
+                jnp.where(back_grow_cand, p_back, 0.0),
+            )
+            p_bwd = pb_vec / jnp.maximum(pb_vec.sum(), TINY)
+
+            lp_grow = jnp.log(p_grow)
+            lp_shrink = jnp.log1p(-p_grow)
+            log_q = (jnp.log(jnp.maximum(p_fwd[obj], TINY)) + rs.log_q
+                     + jnp.where(do_grow, lp_grow, lp_shrink))
+            log_q_back = (jnp.log(jnp.maximum(p_bwd[obj], TINY)) + rs.log_q_back
+                          + jnp.where(do_grow, lp_shrink, lp_grow))
+            res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
+                           source_prior_delta=rs.source_prior_delta,
+                           ll_delta=ll_d)
+            res = _select_result(rejected,
+                                 _reject(state, with_delta=True, with_ll_delta=True),
+                                 res)
             # Boundary correction -log(2) on the backward probability
             corr = jnp.where(boundary & jnp.isfinite(res.log_q_back), -jnp.log(2.0), 0.0)
             return res._replace(log_q_back=res.log_q_back + corr)
