@@ -152,6 +152,53 @@ def test_pallas_jump_matches_xla(setup):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("ratio,heat,two_eff", [
+    (True, False, False), (True, True, False), (False, False, False),
+    (False, True, False), (True, False, True),
+])
+def test_pallas_fusedmix_matches_unfused(setup, ratio, heat, two_eff):
+    """The fused-components variant (one stacked weight-prescaled
+    confounder matmul) is exact vs the per-confounder kernel, for every
+    static specialization."""
+    from sbayes_tpu.model.math import normalize
+    from sbayes_tpu.ops.pallas_marginal import (
+        make_pallas_marginal, tile_layout_eff, wh_layout)
+
+    model, cond, fact, state = setup
+    c = model.consts
+    pm_f = make_pallas_marginal(c, interpret=True, ratio=ratio, heat=heat,
+                                two_eff=two_eff, fusedmix=True)
+    pm_u = make_pallas_marginal(c, interpret=True, ratio=ratio, heat=heat,
+                                two_eff=two_eff, fusedmix=False)
+    assert pm_f is not None and pm_u is not None
+
+    unif = jnp.asarray(c.unif_conc)
+    p_eff = normalize(
+        unif + (jnp.asarray(c.conc_cluster) - unif) / fact.Tp
+        + state.cl_counts[1] / fact.T, axis=-1)
+    p_eff2 = normalize(
+        unif + (jnp.asarray(c.conc_cluster) - unif) / fact.Tp
+        + state.cl_counts[0] / fact.T, axis=-1)
+    conf_eff = normalize(state.conf_counts + jnp.asarray(c.conc_conf), axis=-1)
+    row = tile_layout_eff(p_eff, c.F).reshape(1, -1)
+    if ratio and not two_eff:
+        p_eff_tl = row
+    else:
+        row2 = tile_layout_eff(p_eff2, c.F).reshape(1, -1)
+        p_eff_tl = jnp.concatenate([row, row2], axis=0)
+    wh_tl = wh_layout((state.weights ** (1.0 / fact.Tp)).T, c.F)
+    hc = cond.post.has_components(state.clusters).astype(jnp.float32)
+    hc_flip = hc if two_eff else hc.at[:, 0].set(1.0 - hc[:, 0])
+    incl = hc[:, 0:1]
+    invT = (1.0 / fact.T) * jnp.ones((), jnp.float32) if heat else None
+    conf_eff_tl = tile_layout_eff(conf_eff, c.F)
+
+    out_f = pm_f(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT)
+    out_u = pm_u(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pallas_idx_layout_matches_onehot(monkeypatch):
     """The int8 index feature layout (in-kernel expansion) reproduces the
     one-hot bf16 tile layout's log-odds, including NA handling."""
