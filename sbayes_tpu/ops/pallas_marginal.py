@@ -339,12 +339,6 @@ def make_pallas_marginal(consts, interpret: bool = False,
                                ratio=ratio, heat=heat, two_eff=two_eff,
                                idx_feats=idx_feats, fusedmix=fusedmix)
 
-    if fusedmix:
-        # (N, n_conf*G) stacked group one-hot constant (availability is
-        # multiplied in per call, XLA-side — it is O(N·G) work).
-        groups_st = jnp.asarray(np.concatenate(
-            [np.asarray(consts.groups[i]).T for i in range(n_conf)],
-            axis=1).astype(np.float32))
 
     def marginal(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT=None):
         """p_eff_tl: (2, T*S*FCP) f32 — row 0 mixes under hc, row 1 under
@@ -380,7 +374,12 @@ def make_pallas_marginal(consts, interpret: bool = False,
             # Availability-scaled stacked group one-hot (N, n_conf*G) and
             # heated-weight-prescaled stacked effects (n_conf*G, T*S*FCP):
             # wh rows expand FCP -> S*FCP state-major to match the tile
-            # layout of conf_eff_tl.
+            # layout of conf_eff_tl. Built with jnp ops (consts.groups may
+            # be traced when consts arrive as jit args); XLA hoists the
+            # constant concat.
+            groups_st = jnp.concatenate(
+                [jnp.asarray(consts.groups[i]).T for i in range(n_conf)],
+                axis=1).astype(jnp.float32)
             bconf = groups_st * jnp.repeat(hc[:, 1:], G, axis=1)
             whc = wh_tl[1:].reshape(n_conf, t, 1, FCP)
             whc_exp = jnp.broadcast_to(
