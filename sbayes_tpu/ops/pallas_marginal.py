@@ -231,7 +231,15 @@ def _marginal_kernel(
         # ONE matmul over all confounders (group one-hot pre-scaled by
         # availability, effects pre-scaled by the heated weights) + ONE
         # state reduction, shared by both availability patterns (the
-        # cluster flip only touches component 0).
+        # cluster flip only touches component 0). With mm_bf16 the
+        # operands arrive bf16 (f32 accumulate): the MXU runs this
+        # matmul — the kernel's dominant cost, since K pads to the
+        # systolic depth of 128 — at the bf16 rate. The rounding only
+        # perturbs the confounder BACKGROUND mixture shared by s_cur
+        # and s_flip (the cluster-effect row stays f32), and the
+        # marginal shapes proposals only (forward and backward q come
+        # from this same kernel; MH accept uses the exact-delta path),
+        # so detailed balance is exact.
         conf_sel = state_select(
             jnp.dot(bconf_ref[...], ceff_st_ref[...],
                     preferred_element_type=jnp.float32))             # (nb, FCP)
@@ -293,7 +301,8 @@ def pick_row_block(n: int, target: int = 448):
 
 def make_pallas_marginal(consts, interpret: bool = False,
                          ratio: bool = False, heat: bool = True,
-                         two_eff: bool = False, fusedmix: bool | None = None):
+                         two_eff: bool = False, fusedmix: bool | None = None,
+                         mm_bf16: bool | None = None):
     """Build the fused marginal over the pre-tiled resident feature
     layout; returns None when unavailable (no layout / bad shapes).
 
@@ -317,6 +326,12 @@ def make_pallas_marginal(consts, interpret: bool = False,
     single state reduction per tile (shared by both availability
     patterns) instead of n_conf matmul/select/NA-fix/weight chains. Cuts
     the per-element VPU op count ~30% at n_conf=2; exact same math.
+    mm_bf16 (default on, ``SBAYES_TPU_PALLAS_BF16MM=0`` to disable;
+    implies fusedmix): feed the stacked confounder matmul bf16 operands
+    (f32 accumulate). The matmul is the kernel's dominant cost — its
+    inner dim n_conf*G pads to the MXU systolic depth of 128 — and bf16
+    runs it at 4x the f32 rate. Statistically safe: the marginal shapes
+    proposals only, and forward/backward q come from the same kernel.
     """
     idx_feats = getattr(consts, "features_idx_tl", None) is not None
     if not idx_feats and getattr(consts, "features_tl", None) is None:
@@ -334,6 +349,10 @@ def make_pallas_marginal(consts, interpret: bool = False,
         import os
         fusedmix = os.environ.get("SBAYES_TPU_PALLAS_FUSEDMIX", "1") != "0"
     fusedmix = fusedmix and n_conf > 0
+    if mm_bf16 is None:
+        import os
+        mm_bf16 = os.environ.get("SBAYES_TPU_PALLAS_BF16MM", "1") != "0"
+    mm_bf16 = mm_bf16 and fusedmix
 
     kernel = functools.partial(_marginal_kernel, S=S, C=C, n_conf=n_conf,
                                ratio=ratio, heat=heat, two_eff=two_eff,
@@ -386,6 +405,14 @@ def make_pallas_marginal(consts, interpret: bool = False,
                 whc, (n_conf, t, S, FCP)).reshape(n_conf, t * S * FCP)
             ceff_st = (conf_eff_tl * whc_exp[:, None, :]).reshape(
                 n_conf * G, t * S * FCP)
+            if mm_bf16:
+                # bf16 operands, f32 accumulate: 4x MXU rate on the
+                # dominant matmul + half the ceff stream. bconf is
+                # exactly representable (0/1 x availability 0/1);
+                # ceff_st rounds to ~2^-9 relative — proposal-shaping
+                # only (see kernel comment).
+                bconf = bconf.astype(jnp.bfloat16)
+                ceff_st = ceff_st.astype(jnp.bfloat16)
             in_specs += [
                 pl.BlockSpec((nb, n_conf * G), lambda i, j: (i, 0)),
                 pl.BlockSpec((n_conf * G, S * FCP), lambda i, j: (0, j)),

@@ -1429,47 +1429,61 @@ class OperatorFactory:
         consts = self.consts
         C = consts.C
         F = consts.F
-        na = jnp.asarray(consts.na)
         conc_w = jnp.asarray(consts.conc_weights)
 
         fc = consts.feature_chunk
         chunked = fc is not None and fc < F
 
-        def source_lh_by_feature(source, weights, hc):
-            """(F,) per-feature log-lh of the source draws (tiled at scale)."""
+        # Availability-pattern sufficient statistics: every observation
+        # selects exactly ONE component and source is all-zero at NA
+        # (prior_sampling.py:61, conditionals.py `& ~na`), so the
+        # per-feature source log-lh for ANY weights is a function of
+        # cnt[pat, f, c] = #{objects with availability pattern pat whose
+        # source picks c at feature f}:
+        #
+        #   ll(w)[f] = sum_{p,c} cnt[p,f,c]*log w[f,c]
+        #            - sum_p (sum_c cnt[p,f,c]) * log(sum_c pat_c*w[f,c])
+        #
+        # ONE pass over the (N,F,C) source tensor (an MXU matmul with
+        # K=N) then prices BOTH the old and the proposed weights — the
+        # old path streamed source three times and materialized (N,f,C)
+        # normalized-weight temps per tile. P = 2^C patterns (C is the
+        # component count, <= a handful in every real model).
+        P = 2 ** C
+        pow2 = jnp.asarray([1 << c for c in range(C)], jnp.int32)
+        pat_bits = jnp.asarray(
+            [[(p >> c) & 1 for c in range(C)] for p in range(P)], jnp.float32)
 
-            def slice_fn(source_t, weights_t, na_t):
-                w_normed = normalize_weights(weights_t, hc)
-                p = (source_t * w_normed).sum(-1)
-                p = jnp.where(na_t, 1.0, p)
-                return jnp.log(jnp.maximum(p, TINY)).sum(0)  # (f,)
-
-            if not chunked:
-                return slice_fn(source, weights, na)
-            from sbayes_tpu.model.math import feature_tile
-
-            def tile_body(i):
-                return slice_fn(feature_tile(source, i, fc, axis=1),
-                                feature_tile(weights, i, fc, axis=0),
-                                feature_tile(na, i, fc, axis=1))
-
-            return jax.lax.map(tile_body, jnp.arange(F // fc)).reshape(F)
-
-        def component_pair_counts(has_both, source, dtype):
-            """(F, C) counts of source draws over has_both objects (tiled)."""
+        def pattern_counts(source, hc):
+            """(P, F, C) f32 source counts by availability pattern."""
+            pat = (hc.astype(jnp.int32) * pow2).sum(-1)          # (N,)
+            pat_oh = jax.nn.one_hot(pat, P, dtype=jnp.float32)   # (N, P)
 
             def slice_fn(source_t):
-                return jnp.einsum("n,nfc->fc", has_both.astype(dtype), source_t.astype(dtype))
+                f = source_t.shape[1]
+                m = jnp.dot(pat_oh.T,
+                            source_t.reshape(source_t.shape[0], f * C)
+                            .astype(jnp.float32))
+                return m.reshape(P, f, C)
 
             if not chunked:
                 return slice_fn(source)
             from sbayes_tpu.model.math import feature_tile
 
-            counts_t = jax.lax.map(
+            cnt_t = jax.lax.map(
                 lambda i: slice_fn(feature_tile(source, i, fc, axis=1)),
                 jnp.arange(F // fc),
-            )
-            return counts_t.reshape(F, C)
+            )  # (T, P, fc, C)
+            return jnp.moveaxis(cnt_t, 0, 1).reshape(P, F, C)
+
+        def source_lh_by_feature(cnt, weights):
+            """(F,) source log-lh from pattern counts (exact reordering
+            of the per-object sum: log(w_sel/Z_pat) telescopes)."""
+            logw = jnp.log(jnp.maximum(weights, TINY))           # (F, C)
+            z = jnp.einsum("pc,fc->pf", pat_bits, weights)       # (P, F)
+            logz = jnp.log(jnp.maximum(z, TINY))
+            return (jnp.einsum("pfc,fc->f", cnt, logw)
+                    - jnp.einsum("pf,pf->f", cnt.sum(-1), logz))
 
         def pointwise_prior(weights):
             return cond.post.weights_prior_pointwise(weights)
@@ -1479,14 +1493,18 @@ class OperatorFactory:
             w = state.weights
             hc = cond.post.has_components(state.clusters)
 
-            ll_old = source_lh_by_feature(state.source, w, hc)
+            cnt = pattern_counts(state.source, hc)               # (P, F, C)
+            ll_old = source_lh_by_feature(cnt, w)
             lp_old = pointwise_prior(w)
 
             pair = jax.random.permutation(k_pair, C)
             i1, i2 = pair[0], pair[1]
 
-            has_both = hc[:, i1] & hc[:, i2]
-            counts = component_pair_counts(has_both, state.source, w.dtype) + conc_w
+            # counts over objects with BOTH components available = sum of
+            # the patterns whose i1 and i2 bits are set (same indicator
+            # sum as the old has_both einsum, reordered)
+            both = pat_bits[:, i1] * pat_bits[:, i2]             # (P,)
+            counts = jnp.einsum("p,pfc->fc", both, cnt) + conc_w
             c1 = counts[:, i1] / self.Tp
             c2 = counts[:, i2] / self.Tp
 
@@ -1505,7 +1523,7 @@ class OperatorFactory:
             log_q = beta_logpdf(a2, a_beta, b_beta)
             log_q_back = beta_logpdf(a2_old, a_beta, b_beta)
 
-            ll_new = source_lh_by_feature(state.source, w_new, hc)
+            ll_new = source_lh_by_feature(cnt, w_new)
             lp_new = pointwise_prior(w_new)
 
             p_accept = jnp.exp((ll_new + lp_new - ll_old - lp_old + log_q_back - log_q) / self.Tp)

@@ -14,6 +14,9 @@ def setup():
     os.environ["SBAYES_TPU_FEATURE_CHUNK"] = "4"
     os.environ["SBAYES_TPU_PALLAS_MARGINAL"] = "1"
     os.environ["SBAYES_TPU_PALLAS_INTERPRET"] = "1"
+    # keep the f32 matmul for tight-tolerance parity vs the XLA path;
+    # the bf16 variant has its own tolerance test below
+    os.environ["SBAYES_TPU_PALLAS_BF16MM"] = "0"
     try:
         from sbayes_tpu.model.model import Model
         from sbayes_tpu.model.posterior import Posterior
@@ -37,6 +40,7 @@ def setup():
         os.environ.pop("SBAYES_TPU_FEATURE_CHUNK", None)
         os.environ.pop("SBAYES_TPU_PALLAS_MARGINAL", None)
         os.environ.pop("SBAYES_TPU_PALLAS_INTERPRET", None)
+        os.environ.pop("SBAYES_TPU_PALLAS_BF16MM", None)
 
 
 @pytest.mark.parametrize("heat", [False, True])
@@ -197,6 +201,57 @@ def test_pallas_fusedmix_matches_unfused(setup, ratio, heat, two_eff):
     out_u = pm_u(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("ratio,heat,two_eff", [
+    (True, False, False), (False, False, False), (True, False, True),
+])
+def test_pallas_bf16mm_close_to_f32(setup, ratio, heat, two_eff):
+    """The bf16-matmul variant (confounder mixture operands rounded to
+    bf16, f32 accumulate) tracks the f32 kernel to bf16 rounding. The
+    tolerance is per-feature rounding (~2^-9 relative on the confounder
+    BACKGROUND term, partially cancelling between the cur/flip
+    mixtures) accumulated over F features — loose in absolute terms but
+    proposal-shaping only."""
+    from sbayes_tpu.model.math import normalize
+    from sbayes_tpu.ops.pallas_marginal import (
+        make_pallas_marginal, tile_layout_eff, wh_layout)
+
+    model, cond, fact, state = setup
+    c = model.consts
+    pm_b = make_pallas_marginal(c, interpret=True, ratio=ratio, heat=heat,
+                                two_eff=two_eff, mm_bf16=True)
+    pm_f = make_pallas_marginal(c, interpret=True, ratio=ratio, heat=heat,
+                                two_eff=two_eff, mm_bf16=False)
+    assert pm_b is not None and pm_f is not None
+
+    unif = jnp.asarray(c.unif_conc)
+    p_eff = normalize(
+        unif + (jnp.asarray(c.conc_cluster) - unif) / fact.Tp
+        + state.cl_counts[1] / fact.T, axis=-1)
+    p_eff2 = normalize(
+        unif + (jnp.asarray(c.conc_cluster) - unif) / fact.Tp
+        + state.cl_counts[0] / fact.T, axis=-1)
+    conf_eff = normalize(state.conf_counts + jnp.asarray(c.conc_conf), axis=-1)
+    row = tile_layout_eff(p_eff, c.F).reshape(1, -1)
+    if ratio and not two_eff:
+        p_eff_tl = row
+    else:
+        row2 = tile_layout_eff(p_eff2, c.F).reshape(1, -1)
+        p_eff_tl = jnp.concatenate([row, row2], axis=0)
+    wh_tl = wh_layout((state.weights ** (1.0 / fact.Tp)).T, c.F)
+    hc = cond.post.has_components(state.clusters).astype(jnp.float32)
+    hc_flip = hc if two_eff else hc.at[:, 0].set(1.0 - hc[:, 0])
+    incl = hc[:, 0:1]
+    conf_eff_tl = tile_layout_eff(conf_eff, c.F)
+
+    out_b = pm_b(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, None)
+    out_f = pm_f(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, None)
+    tol = 6e-3 * c.F  # per-feature bf16 rounding bound, summed
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_f), atol=tol)
+    # and it should be much better than the bound in practice
+    gap = np.max(np.abs(np.asarray(out_b) - np.asarray(out_f)))
+    assert gap < 0.1, gap
 
 
 def test_pallas_idx_layout_matches_onehot(monkeypatch):
