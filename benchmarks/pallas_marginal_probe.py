@@ -54,47 +54,68 @@ def probe_small(n_objects=1024, n_features=512, fc=128):
     assert (c.features_tl is not None or c.features_idx_tl is not None), \
         "pallas layout not built"
     cond = Conditionals(Posterior(c), 1.0, 1.0)
-    fact = OperatorFactory(cond)
     state = generate_prior_sample(jax.random.PRNGKey(0), cond)
     state = cond.post.fill_state(state)
     counts = (state.cl_counts, state.conf_counts)
 
-    def run_pallas(state):
-        return fact._cluster_log_odds(
-            state, 1, jnp.ones(c.N, bool), counts=counts)
+    def make_run(fact):
+        def run(state):
+            return fact._cluster_log_odds(
+                state, 1, jnp.ones(c.N, bool), counts=counts)
+        return run
 
-    t0 = time.perf_counter()
-    m = jax.jit(run_pallas)(state)
-    jax.block_until_ready(m)
-    print(f"pallas compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    os.environ["SBAYES_TPU_PALLAS_BF16MM"] = "0"
+    fact32 = OperatorFactory(cond)
+    factx = OperatorFactory(cond)
+    factx._pm_cache = None  # disable -> XLA tiled path
 
-    fact._pm_cache = None  # disable -> XLA tiled path
-    x = jax.jit(run_pallas)(state)
-    jax.block_until_ready(x)
+    # STRICT parity: force exact f32 matmuls on BOTH paths. At DEFAULT
+    # precision the MXU runs f32 matmuls as a single bf16 pass, and the
+    # fused kernel's pre-scaled confounder mixture rounds differently
+    # from the XLA path's post-scaled one (~5e-3 apart, both "wrong" at
+    # bf16) — under HIGHEST both are exact f32 and must agree tightly.
+    with jax.default_matmul_precision("highest"):
+        t0 = time.perf_counter()
+        m = jax.jit(make_run(fact32))(state)
+        jax.block_until_ready(m)
+        print(f"pallas(f32,highest) compile+run: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        x = jax.jit(make_run(factx))(state)
+        jax.block_until_ready(x)
     gap = float(jnp.max(jnp.abs(m - x) / (jnp.abs(x) + 1)))
-    print(f"parity max rel gap (log-odds): {gap:.2e}", flush=True)
+    print(f"parity max rel gap (log-odds, f32 highest-prec): {gap:.2e}",
+          flush=True)
     assert gap < 2e-4, "PARITY FAIL"
 
-    # timings
-    fact._pm_cache = False
-    jp = jax.jit(run_pallas)
-    jax.block_until_ready(jp(state))
+    # fast paths (DEFAULT precision + explicit bf16 operand casts): both
+    # round the confounder background at bf16; proposal-shaping only
+    os.environ["SBAYES_TPU_PALLAS_BF16MM"] = "1"
+    fact16 = OperatorFactory(cond)
     t0 = time.perf_counter()
-    for _ in range(20):
-        out = jp(state)
-    jax.block_until_ready(out)
-    t_pallas = (time.perf_counter() - t0) / 20
+    m16 = jax.jit(make_run(fact16))(state)
+    jax.block_until_ready(m16)
+    print(f"pallas(bf16mm) compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    gap16 = float(jnp.max(jnp.abs(m16 - x) / (jnp.abs(x) + 1)))
+    print(f"parity max rel gap (log-odds, bf16mm vs exact): {gap16:.2e}",
+          flush=True)
+    assert gap16 < 0.1, "BF16 PARITY FAIL"
 
-    fact._pm_cache = None
-    jx = jax.jit(run_pallas)
-    jax.block_until_ready(jx(state))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out = jx(state)
-    jax.block_until_ready(out)
-    t_xla = (time.perf_counter() - t0) / 20
-    print(f"marginal eval: pallas {t_pallas*1e3:.2f} ms  xla {t_xla*1e3:.2f} ms  "
-          f"speedup {t_xla/t_pallas:.2f}x", flush=True)
+    # timings
+    def timeit(fn):
+        j = jax.jit(fn)
+        jax.block_until_ready(j(state))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = j(state)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / 20
+
+    t_f32 = timeit(make_run(fact32))
+    t_b16 = timeit(make_run(fact16))
+    t_xla = timeit(make_run(factx))
+    print(f"marginal eval: pallas(bf16mm) {t_b16*1e3:.2f} ms  "
+          f"pallas(f32) {t_f32*1e3:.2f} ms  xla {t_xla*1e3:.2f} ms  "
+          f"speedup vs xla {t_xla/t_b16:.2f}x", flush=True)
 
 
 def probe_scale(n_objects=10_000, n_features=5_000, n_chains=2):
