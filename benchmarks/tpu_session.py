@@ -32,10 +32,16 @@ STAGES = {
     "bench": [sys.executable, "bench.py"],
 }
 STAGE_ENV = {
+    # idx layout is default-on now; *_onehot stages opt back out
+    "parity_onehot": {"SBAYES_TPU_PALLAS_IDX": "0"},
+    "stages_onehot": {"SBAYES_TPU_PALLAS_IDX": "0"},
     "parity_idx": {"SBAYES_TPU_PALLAS_IDX": "1"},
     "stages_idx": {"SBAYES_TPU_PALLAS_IDX": "1"},
 }
-TIMEOUTS = {"parity": 600, "parity_idx": 600, "stages": 900, "stages_idx": 900,
+STAGES["parity_onehot"] = STAGES["parity"]
+STAGES["stages_onehot"] = STAGES["stages"]
+TIMEOUTS = {"parity": 900, "parity_idx": 900, "parity_onehot": 900,
+            "stages": 1200, "stages_idx": 1200, "stages_onehot": 1200,
             "scale": 1500, "chains": 1800, "bench": 2400}
 
 

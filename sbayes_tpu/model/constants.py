@@ -338,9 +338,12 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
 
         if pick_row_block(N) is not None:
             # int8 index layout (1 byte/element, expanded in-kernel) vs
-            # one-hot bf16 tiles (S*2 bytes/element). Opt-in via
-            # SBAYES_TPU_PALLAS_IDX=1 until measured on real TPU.
-            _idx_on = _os.environ.get("SBAYES_TPU_PALLAS_IDX") == "1"
+            # one-hot bf16 tiles (S*2 bytes/element). Default ON: measured
+            # on real TPU at 10k x 5k (gibbsish branch 11.7 ms vs 30.1 with
+            # one-hot tiles; benchmarks/tpu_session_results.txt 2026-08-18)
+            # with strict f32 parity 3.9e-07. SBAYES_TPU_PALLAS_IDX=0 opts
+            # back into the one-hot tile layout.
+            _idx_on = _os.environ.get("SBAYES_TPU_PALLAS_IDX", "1") == "1"
             if _idx_on and S < 127:
                 # NA rides in the index layout (sentinel S): no na_tl.
                 features_idx_tl = jnp.asarray(

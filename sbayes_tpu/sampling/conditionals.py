@@ -32,13 +32,22 @@ EPS32 = jnp.float32(1.1920929e-07)  # float32 machine epsilon
 
 
 class SourceResample(NamedTuple):
-    source: jnp.ndarray       # (N, F, C) new source array
+    # (N, F, C) new source array (mask engine), or the UNCHANGED old
+    # array (rows engine: the scatter is deferred — see ``new_rows``).
+    source: jnp.ndarray
     log_q: jnp.ndarray        # scalar forward log-probability
     log_q_back: jnp.ndarray   # scalar backward log-probability
     # Exact (unheated) source-prior delta of the move incl. the subset
     # rows' availability change — set by the gathered-rows engine, None on
     # the mask paths (callers then recompute the source prior in full).
     source_prior_delta: jnp.ndarray = None
+    # (m, F, C) resampled rows (rows engine only). Callers hand
+    # ``(obj_idx, new_rows)`` to OpResult.source_rows so the MH kernel
+    # applies ONE row scatter AFTER the accept decision instead of the
+    # op materializing a full (N, F, C) copy per proposal — at 10k x 5k
+    # the source tensor is 150 MB/chain and the full-buffer
+    # scatter+select chain was the per-branch time floor.
+    new_rows: jnp.ndarray = None
 
 
 class Conditionals:
@@ -504,7 +513,6 @@ class Conditionals:
 
         x = sample_categorical_onehot(key, p) & ~na_m[:, :, None]
         new_rows = jnp.where(valid[:, None, None], x, src_rows_old)
-        source_new = state_old.source.at[obj_idx].set(new_rows)
 
         log_q = self._rows_logp(p, new_rows, valid, na_m)
         log_q_back = self._rows_logp(p_back, src_rows_old, valid, na_m)
@@ -514,7 +522,12 @@ class Conditionals:
             - self.source_prior_rows_logp(state_old.weights, hc_old_m,
                                           src_rows_old, valid, na_m)
         )
-        return SourceResample(source_new, log_q, log_q_back, sp_delta)
+        # Deferred scatter: ``source`` passes the OLD buffer through
+        # untouched (the MH kernel's tree-select folds to a no-op on it)
+        # and the kernel writes ``new_rows`` at ``obj_idx`` only after the
+        # accept decision — see kernel.make_mh_apply_fn.
+        return SourceResample(state_old.source, log_q, log_q_back, sp_delta,
+                              new_rows=new_rows)
 
     def gibbs_resample_source_rows(self, key, state_old, clusters_new, obj_idx,
                                    valid, i_cluster, counts) -> SourceResample:

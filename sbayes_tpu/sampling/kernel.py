@@ -160,6 +160,13 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
         def branch(key, state):
             k_prop, k_u = jax.random.split(key)
             res = spec.fn(k_prop, state)
+            if res.source_rows is not None and res.source_prior_delta is None:
+                # The deferred-rows state carries the STALE source buffer;
+                # every source-dependent term must arrive as an exact delta.
+                raise ValueError(
+                    f"operator {spec.name}: source_rows requires "
+                    "source_prior_delta (the kernel must not recompute "
+                    "source terms from the old buffer)")
             cand, d_ll, d_prior = evaluate_candidate(
                 spec, state, res.state,
                 sp_delta=res.source_prior_delta, ll_delta=res.ll_delta)
@@ -179,6 +186,17 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
             nf = accept & (~jnp.isfinite(cand.log_lh) | ~jnp.isfinite(cand.log_prior))
 
             new_state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), cand, state)
+            if res.source_rows is not None:
+                # Deferred source-row write: ``cand.source`` is the old
+                # buffer (the tree-select above folded to the identity on
+                # it); scatter the accepted rows in ONE pass. Rejected /
+                # padded proposals carry index N, whose writes XLA drops.
+                # With the buffer scan-carried and otherwise dead, XLA
+                # performs the scatter in place — no 150 MB copy per step.
+                idx, rows_new = res.source_rows
+                rows_final = jnp.where(accept, rows_new, state.source[idx])
+                new_state = new_state._replace(
+                    source=state.source.at[idx].set(rows_final))
             return new_state, accept, res.step_size, nf
 
         return branch

@@ -58,21 +58,45 @@ class OpResult(NamedTuple):
     # evaluates log_likelihood_from_counts). Single-object movers compute
     # it in O(F·S) logs via math.dirichlet_categorical_delta.
     ll_delta: jnp.ndarray = None
+    # Deferred source-row update ``(obj_idx (m,), new_rows (m, F, C))``:
+    # ``state.source`` in the returned state is the UNTOUCHED old buffer
+    # and the MH kernel scatters the rows only after the accept decision
+    # (one row write instead of a full-buffer scatter + two full-buffer
+    # selects — the source tensor is the biggest leaf by far at scale).
+    # Padded/rejected entries use index N (out of bounds): XLA drops the
+    # writes. Requires source_prior_delta (and carried counts): the
+    # kernel must not recompute source-dependent terms from the stale
+    # buffer.
+    source_rows: tuple = None
 
 
 def _reject(state, with_delta: bool = False,
-            with_ll_delta: bool = False) -> "OpResult":
-    """Forced-reject result; ``with_delta``/``with_ll_delta`` must match
-    the paired accept branch's OpResult structure (delta array vs None)."""
+            with_ll_delta: bool = False, source_rows=None) -> "OpResult":
+    """Forced-reject result; ``with_delta``/``with_ll_delta``/
+    ``source_rows`` must match the paired accept branch's OpResult
+    structure. Pass the SAME ``source_rows`` object as the accept branch
+    (with indices pre-masked to N on rejection): ``_select_result``'s
+    tree-select then folds to the identity on the row arrays."""
     z = jnp.float32
     return OpResult(state, jnp.asarray(Q_REJECT, z), jnp.asarray(-jnp.inf, z),
                     jnp.asarray(0.0, z),
                     jnp.asarray(0.0, z) if with_delta else None,
-                    jnp.asarray(0.0, z) if with_ll_delta else None)
+                    jnp.asarray(0.0, z) if with_ll_delta else None,
+                    source_rows)
 
 
 def _select_result(pred, a: OpResult, b: OpResult) -> OpResult:
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def resolve_result_state(res: OpResult):
+    """Materialize a deferred source-row write (OpResult.source_rows) into
+    the full state — for tests and direct op inspection. The MH kernel
+    performs this scatter inline after the accept decision."""
+    if res.source_rows is None:
+        return res.state
+    idx, rows = res.source_rows
+    return res.state._replace(source=res.state.source.at[idx].set(rows))
 
 
 def _masked_categorical(key, p, mask):
@@ -250,7 +274,13 @@ class OperatorFactory:
         # the pre-tiled feature layout — enabled when consts carry it.
         # The heat transcendentals compile in only for the wide raw-probs
         # path (heat_effect_lh).
-        pm = self._pm(ratio=ratio, heat=heat_effect_lh) if chunked else None
+        # When the temperature is a STATIC 1.0 (plain ensembles: the
+        # runner dispatches a unit-temp specialization, runner.py), the
+        # heat variant is the identity — compile the transcendentals out
+        # and use the cheap noheat kernel even on the wide raw-probs path.
+        unit_T = isinstance(self.T, (int, float)) and self.T == 1.0
+        use_heat = heat_effect_lh and not unit_T
+        pm = self._pm(ratio=ratio, heat=use_heat) if chunked else None
         if pm is not None:
             from sbayes_tpu.ops.pallas_marginal import tile_layout_eff, wh_layout
 
@@ -265,7 +295,7 @@ class OperatorFactory:
             conf_eff_tl = tile_layout_eff(conf_eff, c.F)                # (C-1,G,TSFcp)
             wh_tl = wh_layout((state.weights ** (1.0 / self.Tp)).T, c.F)
             invT = ((1.0 / self.T) * jnp.ones((), jnp.float32)
-                    if heat_effect_lh else None)
+                    if use_heat else None)
             out = pm(
                 p_eff_tl, wh_tl, hc.astype(jnp.float32), hc_flip.astype(jnp.float32),
                 in_cluster_now.astype(jnp.float32)[:, None], conf_eff_tl, invT,
@@ -567,11 +597,13 @@ class OperatorFactory:
                 i_cluster, counts)
             cl_new, conf_new, ll_d = self._delta_counts(
                 counts, obj, state.clusters, clusters_new,
-                state.source[obj], rs.source[obj])
+                state.source[obj], rs.new_rows[0])
             counts_new = (cl_new, conf_new)
+            # source stays the OLD buffer: the row write is deferred to the
+            # MH kernel via OpResult.source_rows (rs.new_rows).
             state_new = self._put_counts(
                 state._replace(
-                    clusters=clusters_new, source=rs.source,
+                    clusters=clusters_new,
                     geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster),
                 ), counts_new)
 
@@ -597,11 +629,16 @@ class OperatorFactory:
                      + jnp.where(do_grow, lp_grow, lp_shrink))
             log_q_back = (jnp.log(jnp.maximum(p_bwd[obj], TINY)) + rs.log_q_back
                           + jnp.where(do_grow, lp_shrink, lp_grow))
+            # Deferred row write: index masked to N on rejection (write
+            # dropped); both select branches share the SAME rows object so
+            # the tree-select folds on it.
+            rows = (jnp.where(rejected, N, obj)[None], rs.new_rows)
             res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
                            source_prior_delta=rs.source_prior_delta,
-                           ll_delta=ll_d)
+                           ll_delta=ll_d, source_rows=rows)
             res = _select_result(rejected,
-                                 _reject(state, with_delta=True, with_ll_delta=True),
+                                 _reject(state, with_delta=True, with_ll_delta=True,
+                                         source_rows=rows),
                                  res)
             # Boundary correction -log(2) on the backward probability
             corr = jnp.where(boundary & jnp.isfinite(res.log_q_back), -jnp.log(2.0), 0.0)
@@ -833,10 +870,13 @@ class OperatorFactory:
             feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
             counts_new = cond.delta_counts_rows_move(
                 counts, state.clusters, clusters_new, obj_idx, valid,
-                state.source[obj_idx], rs.source[obj_idx], feats_m)
+                state.source[obj_idx], rs.new_rows, feats_m)
+            # source stays the OLD buffer: row write deferred to the MH
+            # kernel (OpResult.source_rows). The backward cluster_probs
+            # below reads only counts/weights/clusters — never source.
             state_new = self._put_counts(
                 state._replace(
-                    clusters=clusters_new, source=rs.source,
+                    clusters=clusters_new,
                     geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster),
                 ), counts_new)
 
@@ -847,14 +887,17 @@ class OperatorFactory:
             log_p_ssb = jnp.where(avail, jnp.log(jnp.maximum(ssb_site, TINY)), 0.0).sum()
             log_q_back = log_q_back - jnp.log1p(-jnp.minimum(jnp.exp(log_p_ssb), 1 - 1e-7))
 
+            rows = (jnp.where(rejected, N, obj_idx), rs.new_rows)
             res = OpResult(
                 state_new,
                 log_q + rs.log_q,
                 log_q_back + rs.log_q_back,
                 changed.sum().astype(jnp.float32),
                 source_prior_delta=rs.source_prior_delta,
+                source_rows=rows,
             )
-            return _select_result(rejected, _reject(state, with_delta=True), res)
+            return _select_result(
+                rejected, _reject(state, with_delta=True, source_rows=rows), res)
 
         return op
 
@@ -1087,11 +1130,13 @@ class OperatorFactory:
                 counts=(cl_counts, conf_counts))
             cl_counts2, conf_counts2, ll_d = self._delta_counts(
                 (cl_counts, conf_counts), obj, state.clusters, clusters_new,
-                state.source[obj], rs.source[obj],
+                state.source[obj], rs.new_rows[0],
             )
+            # source stays the OLD buffer (row write deferred to the MH
+            # kernel); the backward jump_lh reads only counts/weights/hc.
             state_new = self._put_counts(
                 state._replace(
-                    clusters=clusters_new, source=rs.source,
+                    clusters=clusters_new,
                     geo_agg=self._update_geo(state.geo_agg, clusters_new, i_src, i_tgt),
                 ), (cl_counts2, conf_counts2))
             if gibbsish and not self.sample_from_prior:
@@ -1104,11 +1149,13 @@ class OperatorFactory:
 
             log_q = jnp.log(jnp.maximum(p_jump[obj], TINY)) + rs.log_q
             log_q_back = jnp.log(jnp.maximum(p_jump_back[obj], TINY)) + rs.log_q_back
+            rows = (jnp.where(rejected, N, obj)[None], rs.new_rows)
             res = OpResult(state_new, log_q, log_q_back, jnp.float32(1.0),
                            source_prior_delta=rs.source_prior_delta,
-                           ll_delta=ll_d)
+                           ll_delta=ll_d, source_rows=rows)
             return _select_result(rejected,
-                                  _reject(state, with_delta=True, with_ll_delta=True),
+                                  _reject(state, with_delta=True, with_ll_delta=True,
+                                          source_rows=rows),
                                   res)
 
         return op
@@ -1191,12 +1238,13 @@ class OperatorFactory:
                                                counts_old, obj_idx, feats_m, na_m)
             x = sample_categorical_onehot(k_draw, p) & ~na_m[:, :, None]
             new_rows = jnp.where(valid[:, None, None], x, old_rows)
-            source_new = state.source.at[obj_idx].set(new_rows)
 
             log_q = cond._rows_logp(p, new_rows, valid, na_m)
             counts_new = cond.delta_counts_rows(counts_old, state.clusters, obj_idx,
                                                 valid, old_rows, new_rows, feats_m)
-            state_new = self._put_counts(state._replace(source=source_new), counts_new)
+            # source row write deferred to the MH kernel (source_rows);
+            # the backward posterior below reads only counts_new.
+            state_new = self._put_counts(state, counts_new)
 
             if self.sample_from_prior:
                 p_back = p
@@ -1213,7 +1261,8 @@ class OperatorFactory:
             )
             step_size = ((new_rows ^ old_rows) & valid[:, None, None]).sum().astype(jnp.float32)
             return OpResult(state_new, log_q, log_q_back, step_size,
-                            source_prior_delta=sp_delta)
+                            source_prior_delta=sp_delta,
+                            source_rows=(obj_idx, new_rows))
 
         def op_rows_sweep(key, state):
             """EXACT sequential Gibbs sweep over the gathered subset.
@@ -1296,9 +1345,8 @@ class OperatorFactory:
 
             (cl_new, conf_new, new_rows), _ = lax.scan(
                 body, (counts_old[0], counts_old[1], old_rows), jnp.arange(k_cap))
-            source_new = state.source.at[obj_idx].set(new_rows)
-            state_new = self._put_counts(state._replace(source=source_new),
-                                         (cl_new, conf_new))
+            # source row write deferred to the MH kernel (source_rows).
+            state_new = self._put_counts(state, (cl_new, conf_new))
 
             sp_delta = (
                 cond.source_prior_rows_logp(state.weights, hc_m, new_rows, valid, na_m)
@@ -1306,7 +1354,8 @@ class OperatorFactory:
             )
             step_size = ((new_rows ^ old_rows) & valid[:, None, None]).sum().astype(jnp.float32)
             return OpResult(state_new, Q_GIBBS, Q_BACK_GIBBS, step_size,
-                            source_prior_delta=sp_delta)
+                            source_prior_delta=sp_delta,
+                            source_rows=(obj_idx, new_rows))
 
         def op_fused(key, state):
             k_draw = key
@@ -1457,13 +1506,17 @@ class OperatorFactory:
         def pattern_counts(source, hc):
             """(P, F, C) f32 source counts by availability pattern."""
             pat = (hc.astype(jnp.int32) * pow2).sum(-1)          # (N,)
-            pat_oh = jax.nn.one_hot(pat, P, dtype=jnp.float32)   # (N, P)
+            # bf16 operands, f32 accumulate: 0/1 values are exact in bf16
+            # and the (N, fc*C) expansion temp halves (the matmul is
+            # traffic-bound on that temp at 10k x 5k).
+            pat_oh = jax.nn.one_hot(pat, P, dtype=jnp.bfloat16)  # (N, P)
 
             def slice_fn(source_t):
                 f = source_t.shape[1]
                 m = jnp.dot(pat_oh.T,
                             source_t.reshape(source_t.shape[0], f * C)
-                            .astype(jnp.float32))
+                            .astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
                 return m.reshape(P, f, C)
 
             if not chunked:

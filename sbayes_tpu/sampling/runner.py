@@ -49,6 +49,16 @@ from sbayes_tpu.sampling.state import ChainState
 from functools import partial
 
 
+def _all_unit_temps(T, Tp) -> bool:
+    """Host-side check that every chain temperature is exactly 1 (plain,
+    non-MC3 ensembles). Used as a STATIC jit argument so the compiled
+    program folds all ``x ** (1/T)`` heating away and the fused marginal
+    can use the noheat Pallas variant. Tiny transfer (n_chains floats)."""
+    import numpy as _np
+
+    return bool(_np.all(_np.asarray(T) == 1.0) and _np.all(_np.asarray(Tp) == 1.0))
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _fill_state_jit(consts, sample_from_prior, state):
     """fill_state with consts as a traced argument (no HLO literals)."""
@@ -97,7 +107,7 @@ class SamplerRuntime:
         self._init_chains = self._build_init_chains()
         self._sample_view = self._build_sample_view()
         self._cluster_contribution = self._build_cluster_contribution()
-        self._branch_chunks: dict = {}  # op_idx -> jitted single-branch chunk
+        self._branch_chunks: dict = {}  # (op_idx, unit_temps) -> jitted single-branch chunk
 
     # -------------------- compiled programs --------------------
 
@@ -116,15 +126,22 @@ class SamplerRuntime:
         p_grow = self.p_grow
         op_logits = np.log(np.asarray([o.weight for o in self._op_specs_cold], np.float32))
 
-        def run(consts, keys, states, stats, T, Tp, n_steps):
+        def run(consts, keys, states, stats, T, Tp, n_steps, unit_temps):
             # keys: (n_chains,) per-chain PRNG keys. The shared per-step
             # operator draws derive from a master key folded out of the
             # chain keys (stable under sharding; depends only on keys[0]).
             # ``consts`` is a traced argument: its arrays lower to
             # executable parameters, not embedded HLO literals.
+            # ``unit_temps`` (static): the host saw every temperature == 1
+            # (plain, non-MC3 ensembles), so build the operators with
+            # STATIC Python-float temps — XLA folds all ``x ** (1/T)``
+            # heating away and the marginal picks the cheap noheat Pallas
+            # variant (operators.py:_marginal_impl).
             master_key = jax.random.fold_in(keys[0], 0x5ba135)
 
             def apply_one(op_idx, key, state, T_c, Tp_c):
+                if unit_temps:
+                    T_c, Tp_c = 1.0, 1.0
                 cond = Conditionals(Posterior(consts, sfp), T_c, Tp_c)
                 ops = get_operator_schedule(cond, op_cfg, p_grow)
                 apply = make_mh_apply_fn(cond, ops)
@@ -152,10 +169,11 @@ class SamplerRuntime:
             (keys, states, stats), _ = jax.lax.scan(body, (keys, states, stats), step_keys)
             return Carry(keys, states, stats)
 
-        jitted = jax.jit(run, static_argnums=(6,), donate_argnums=(2, 3))
+        jitted = jax.jit(run, static_argnums=(6, 7), donate_argnums=(2, 3))
 
         def call(keys, states, stats, T, Tp, n_steps):
-            return jitted(self.consts, keys, states, stats, T, Tp, n_steps)
+            return jitted(self.consts, keys, states, stats, T, Tp, n_steps,
+                          _all_unit_temps(T, Tp))
 
         return call
 
@@ -168,10 +186,12 @@ class SamplerRuntime:
         p_grow = self.p_grow
         op_logits = np.log(np.asarray([o.weight for o in self._op_specs_cold], np.float32))
 
-        def run(consts, keys, states, stats, T, Tp, n_steps):
+        def run(consts, keys, states, stats, T, Tp, n_steps, unit_temps):
             master_key = jax.random.fold_in(keys[0], 0x5ba135)
 
             def apply_one(op_idx, key, state, T_c, Tp_c):
+                if unit_temps:
+                    T_c, Tp_c = 1.0, 1.0
                 cond = Conditionals(Posterior(consts, sfp), T_c, Tp_c)
                 ops = get_operator_schedule(cond, op_cfg, p_grow)
                 return make_mh_apply_fn(cond, ops)(op_idx, key, state)
@@ -199,10 +219,11 @@ class SamplerRuntime:
             (keys, states, stats), trace = jax.lax.scan(body, (keys, states, stats), step_keys)
             return Carry(keys, states, stats), trace
 
-        jitted = jax.jit(run, static_argnums=(6,), donate_argnums=(2, 3))
+        jitted = jax.jit(run, static_argnums=(6, 7), donate_argnums=(2, 3))
 
         def call(keys, states, stats, T, Tp, n_steps):
-            return jitted(self.consts, keys, states, stats, T, Tp, n_steps)
+            return jitted(self.consts, keys, states, stats, T, Tp, n_steps,
+                          _all_unit_temps(T, Tp))
 
         return call
 
@@ -459,12 +480,16 @@ class SamplerRuntime:
         temps = jnp.asarray(temps, jnp.float32)
         prior_temps = jnp.asarray(prior_temps, jnp.float32)
 
+        unit_temps = _all_unit_temps(temps, prior_temps)
         times = np.zeros(self.n_ops)
         for i_op in range(self.n_ops):
-            if i_op not in self._branch_chunks:
+            cache_key = (i_op, unit_temps)
+            if cache_key not in self._branch_chunks:
                 def make(i_op=i_op):
                     def run(consts, keys, states, T, Tp, n_steps):
                         def apply_one(key, state, T_c, Tp_c):
+                            if unit_temps:
+                                T_c, Tp_c = 1.0, 1.0
                             cond = Conditionals(Posterior(consts, sfp), T_c, Tp_c)
                             ops = [get_operator_schedule(cond, op_cfg, p_grow)[i_op]]
                             return make_mh_apply_fn(cond, ops)(0, key, state)
@@ -484,8 +509,8 @@ class SamplerRuntime:
                     jitted = jax.jit(run, static_argnums=(5,))
                     return lambda *a: jitted(self.consts, *a)
 
-                self._branch_chunks[i_op] = make()
-            run = self._branch_chunks[i_op]
+                self._branch_chunks[cache_key] = make()
+            run = self._branch_chunks[cache_key]
             jax.block_until_ready(run(keys, states, temps, prior_temps, n_steps))  # compile+warm
             t0 = _time.perf_counter()
             jax.block_until_ready(run(keys, states, temps, prior_temps, n_steps))

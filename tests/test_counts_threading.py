@@ -17,7 +17,8 @@ def setup():
     from sbayes_tpu.model.model import Model
     from sbayes_tpu.model.posterior import Posterior
     from sbayes_tpu.sampling.conditionals import Conditionals
-    from sbayes_tpu.sampling.operators import get_operator_schedule
+    from sbayes_tpu.sampling.operators import (
+        get_operator_schedule, resolve_result_state)
     from sbayes_tpu.sampling.prior_sampling import generate_prior_sample
     from sbayes_tpu.testing import synthetic_config, synthetic_data
 
@@ -32,6 +33,8 @@ def setup():
 
 
 def test_state_counts_match_full_recompute(setup):
+    from sbayes_tpu.sampling.operators import resolve_result_state
+
     cond, ops, state = setup
     assert state.cl_counts is not None, "fill_state must set the carried counts"
     for spec in ops:
@@ -40,8 +43,9 @@ def test_state_counts_match_full_recompute(setup):
             assert res.state.cl_counts is not None, (
                 f"{spec.name}: candidate state lost the carried counts"
             )
+            st = resolve_result_state(res)  # materialize deferred source rows
             cl, conf = jax.jit(cond.post.feature_counts)(
-                res.state.clusters, res.state.source
+                st.clusters, st.source
             )
             np.testing.assert_array_equal(
                 np.asarray(res.state.cl_counts), np.asarray(cl),

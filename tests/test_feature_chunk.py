@@ -114,8 +114,11 @@ def test_tiled_source_op_density_matches_fused(setup):
 
     config = synthetic_config(n_clusters=2)
     ops_c = get_operator_schedule(cond_c, config.mcmc.operators)
+    from sbayes_tpu.sampling.operators import resolve_result_state
+
     src_op = [o for o in ops_c if o.name == "gibbs_sample_sources"][0]
     res = jax.jit(src_op.fn)(jax.random.PRNGKey(4), state)
+    res = res._replace(state=resolve_result_state(res))
 
     N = cond.consts.N
     subset = jnp.ones(N, bool)

@@ -39,7 +39,8 @@ def _check_invariants(model, st):
     "gibbs_sample_sources", "gibbs_sample_sources_groups", "gibbs_sample_weights",
 ])
 def test_operator_invariants(setup, op_name):
-    from sbayes_tpu.sampling.operators import get_operator_schedule
+    from sbayes_tpu.sampling.operators import (
+        get_operator_schedule, resolve_result_state)
 
     model, cond, state, config = setup
     ops = {o.name: o for o in get_operator_schedule(cond, config.mcmc.operators)}
@@ -47,7 +48,7 @@ def test_operator_invariants(setup, op_name):
 
     for i in range(5):
         res = jax.jit(op.fn)(jax.random.PRNGKey(100 + i), state)
-        st = res.state
+        st = resolve_result_state(res)  # materialize deferred source rows
         _check_invariants(model, st)
         # q values: log_q_back == -inf means direct reject (state unchanged)
         if np.isneginf(float(res.log_q_back)):
