@@ -90,6 +90,22 @@ def main(n_chains=1024):
     t = timeit(f_prior, masks, agg)
     print(f"geo_prior_from_agg x {n_chains}: {t*1e3:.2f} ms", flush=True)
 
+    # 4) MST engine shoot-out on the vmapped ensemble: Prim's while_loop
+    #    runs to the BATCH-MAX cluster size across all chains; Boruvka is
+    #    fixed log-depth dense work. Sweep cluster densities to find the
+    #    crossover (VERDICT r3 weak #2).
+    for dens in (0.1, 0.3, 0.6):
+        m_d = jax.random.bernoulli(jax.random.PRNGKey(2), dens, (n_chains, N))
+        # one straggler chain with a near-full cluster (the vmap worst case)
+        m_d = m_d.at[0].set(jnp.ones(N, bool))
+        for eng in ("prim", "boruvka"):
+            os.environ["SBAYES_TPU_MST"] = eng
+            f = jax.jit(jax.vmap(post.skeleton_triple))
+            t = timeit(f, m_d)
+            print(f"skeleton_triple[{eng}] density={dens} (+1 full straggler) "
+                  f"x {n_chains}: {t*1e3:.2f} ms", flush=True)
+    os.environ.pop("SBAYES_TPU_MST", None)
+
 
 if __name__ == "__main__":
     main(*[int(a) for a in sys.argv[1:]])

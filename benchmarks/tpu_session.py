@@ -24,25 +24,25 @@ OUT = ROOT / "benchmarks" / "tpu_session_results.txt"
 
 STAGES = {
     "parity": [sys.executable, "benchmarks/pallas_marginal_probe.py", "small"],
-    "parity_idx": [sys.executable, "benchmarks/pallas_marginal_probe.py", "small"],
     "stages": [sys.executable, "benchmarks/pallas_marginal_probe.py", "stages"],
-    "stages_idx": [sys.executable, "benchmarks/pallas_marginal_probe.py", "stages"],
     "scale": [sys.executable, "benchmarks/pallas_marginal_probe.py", "scale"],
     "chains": [sys.executable, "benchmarks/chain_sweep.py"],
+    "geo": [sys.executable, "benchmarks/geo_probe.py"],
+    "widecap": [sys.executable, "benchmarks/wide_cap_probe.py"],
     "bench": [sys.executable, "bench.py"],
 }
 STAGE_ENV = {
-    # idx layout is default-on now; *_onehot stages opt back out
+    # idx layout is default-on (parity/stages cover it); *_onehot stages
+    # opt back out to measure the one-hot fallback path
     "parity_onehot": {"SBAYES_TPU_PALLAS_IDX": "0"},
     "stages_onehot": {"SBAYES_TPU_PALLAS_IDX": "0"},
-    "parity_idx": {"SBAYES_TPU_PALLAS_IDX": "1"},
-    "stages_idx": {"SBAYES_TPU_PALLAS_IDX": "1"},
 }
 STAGES["parity_onehot"] = STAGES["parity"]
 STAGES["stages_onehot"] = STAGES["stages"]
-TIMEOUTS = {"parity": 900, "parity_idx": 900, "parity_onehot": 900,
-            "stages": 1200, "stages_idx": 1200, "stages_onehot": 1200,
-            "scale": 1500, "chains": 1800, "bench": 2400}
+TIMEOUTS = {"parity": 900, "parity_onehot": 900,
+            "stages": 1200, "stages_onehot": 1200,
+            "scale": 1500, "chains": 1800, "geo": 1200, "widecap": 1500,
+            "bench": 2400}
 
 
 def main():

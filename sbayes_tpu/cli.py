@@ -130,6 +130,14 @@ def main(
             pool.map(runner, run_configurations)
 
 
+def _str2bool(v: str) -> bool:
+    if v.lower() in ("1", "true", "yes", "y", "on"):
+        return True
+    if v.lower() in ("0", "false", "no", "n", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"Expected a boolean, got {v!r}")
+
+
 def cli(args=None):
     parser = argparse.ArgumentParser(
         description="TPU-native MCMC to detect clusters in the presence of confounders."
@@ -140,7 +148,10 @@ def cli(args=None):
                         help="Experiment name (results directory; default: date/time).")
     parser.add_argument("-t", "--threads", nargs="?", type=int, default=1,
                         help="Number of parallel run processes (default 1: sequential).")
-    parser.add_argument("-r", "--resume", nargs="?", type=bool, default=False,
+    # NOT type=bool: argparse's bool("False") == True (the reference has
+    # this wart, cli.py:142-146; fixed here). Bare `-r` means resume=True.
+    parser.add_argument("-r", "--resume", nargs="?", type=_str2bool,
+                        const=True, default=False,
                         help="Resume a previous run (requires matching name, runID, K).")
     parser.add_argument("-K", "--numClusters", nargs="*", type=int,
                         help="Number of clusters (overrides config; multiple => multiple runs).")

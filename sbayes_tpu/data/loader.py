@@ -108,34 +108,37 @@ class Confounder:
     group_names: list
     has_universal_prior: bool = False
 
-    def __getitem__(self, key):
-        if key == "names":
-            return self.group_names
-        if key == "values":
-            return self.group_assignment
-        return getattr(self, key)
-
-    def any_group(self) -> NDArray[np.bool_]:
-        return np.any(self.group_assignment, axis=0)
-
     @property
     def n_groups(self) -> int:
         return len(self.group_names)
 
+    @property
+    def in_any_group(self) -> NDArray[np.bool_]:
+        """(n_objects,) mask of objects assigned to some group (objects with
+        a missing confounder label belong to none)."""
+        return self.group_assignment.any(axis=0)
+
     @classmethod
     def from_dataframe(cls, data: pd.DataFrame, confounder_name: str) -> "Confounder":
-        n_objects = data.shape[0]
+        """Build the group partition from the confounder's CSV column.
+
+        Behavioral contract (reference load_data.py:139-184): group names are
+        the sorted distinct non-NA labels; a missing column means a single
+        ``<ALL>`` group over every object. Implemented as one factorize +
+        scatter instead of a per-group equality scan.
+        """
         if confounder_name not in data:
-            # No column -> one group covering all objects.
-            group_assignment = np.ones((1, n_objects), dtype=bool)
-            group_names = ["<ALL>"]
-        else:
-            group_names_by_site = data[confounder_name]
-            group_names = list(np.unique(group_names_by_site.dropna()))
-            group_assignment = np.zeros((len(group_names), n_objects), dtype=bool)
-            for i_g, name_g in enumerate(group_names):
-                group_assignment[i_g, np.where(group_names_by_site == name_g)[0]] = True
-        return cls(name=confounder_name, group_assignment=group_assignment, group_names=group_names)
+            return cls(
+                name=confounder_name,
+                group_assignment=np.ones((1, len(data)), dtype=bool),
+                group_names=["<ALL>"],
+            )
+        codes, labels = pd.factorize(data[confounder_name], sort=True)  # NaN -> -1
+        assignment = np.zeros((len(labels), len(data)), dtype=bool)
+        labeled = codes >= 0
+        assignment[codes[labeled], np.flatnonzero(labeled)] = True
+        return cls(name=confounder_name, group_assignment=assignment,
+                   group_names=list(labels))
 
 
 class Data:

@@ -60,7 +60,12 @@ class Experiment:
     def add_logger_file(self, path_results: Path):
         if not self.config.results.log_file:
             return
-        log_path = path_results / f"experiment_{self.config.model.clusters}_{self.i_run}.log"
+        # Reference log-file naming: experiment_K{K}_{run}.log
+        # (experiment_setup.py:70-76). ``clusters`` may still be a list when
+        # invoked from cli.main before per-K resolution.
+        k = self.config.model.clusters
+        k_str = "-".join(str(int(x)) for x in k) if isinstance(k, (list, tuple)) else str(k)
+        log_path = path_results / f"experiment_K{k_str}_{self.i_run}.log"
         if os.path.exists(log_path):
             os.remove(log_path)
         self.logger.addHandler(logging.FileHandler(filename=log_path))

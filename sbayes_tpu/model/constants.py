@@ -161,6 +161,15 @@ class ModelConstants:
     # this when present). SBAYES_TPU_PALLAS_IDX=1/0 overrides.
     features_idx_tl: Any = None
 
+    # Availability-pattern encoding for the weights-likelihood sufficient
+    # statistic (ChainState.pat_counts; see operators.make_gibbs_sample_weights):
+    # every object's confounder availability (hc_conf row) is one of a few
+    # distinct STATIC patterns; only the cluster bit is dynamic. Pattern id
+    # of object n = static_pat[n] + any_cluster(n) * n_static_pats, so
+    # P = 2 * n_static_pats total patterns (instead of 2^C).
+    static_pat: Any = None          # int32 (N,) static pattern id per object
+    pat_bits: Any = None            # f32 (P, C) availability bits per pattern
+
     # misc
     dtype: Any = np.float32
 
@@ -250,6 +259,17 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
             )
 
     hc_conf = groups.sum(axis=1).T > 0  # (N, C-1)
+
+    # Availability-pattern encoding (see the ModelConstants field docs):
+    # distinct rows of hc_conf are the static patterns; the dynamic cluster
+    # bit doubles them.
+    static_rows, static_pat = np.unique(hc_conf, axis=0, return_inverse=True)
+    static_pat = static_pat.astype(np.int32).reshape(-1)
+    n_static = static_rows.shape[0]
+    pat_bits = np.concatenate([
+        np.concatenate([np.zeros((n_static, 1)), static_rows], axis=1),
+        np.concatenate([np.ones((n_static, 1)), static_rows], axis=1),
+    ]).astype(FLOAT_TYPE)  # (2 * n_static, C)
 
     # --- weights prior (reference: prior.py:490-565) ---
     C = n_conf + 1
@@ -386,6 +406,8 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
         features_tl=features_tl,
         features_idx_tl=features_idx_tl,
         na_tl=na_tl,
+        static_pat=jnp.asarray(static_pat),
+        pat_bits=jnp.asarray(pat_bits),
     )
 
 
@@ -402,7 +424,7 @@ _MC_ARRAY_FIELDS = (
     "features", "na", "applicable", "n_states_per_feature", "groups",
     "group_valid", "hc_conf", "conc_cluster", "unif_conc", "conc_conf",
     "conc_weights", "cost_matrix", "adjacency", "locations",
-    "features_tl", "na_tl", "features_idx_tl",
+    "features_tl", "na_tl", "features_idx_tl", "static_pat", "pat_bits",
 )
 _MC_STATIC_FIELDS = (
     "shapes", "conf_names", "group_names", "n_groups", "weights_prior_uniform",

@@ -112,6 +112,50 @@ class Posterior:
     def normalized_weights(self, weights, clusters):
         return normalize_weights(weights, self.has_components(clusters))
 
+    # ---------------- availability-pattern source counts ----------------
+
+    def source_patterns(self, clusters):
+        """(N,) int32 availability-pattern id of each object: the static
+        confounder pattern + the dynamic any-cluster bit (encoding per
+        ModelConstants.static_pat / pat_bits)."""
+        c = self.consts
+        n_static = c.pat_bits.shape[0] // 2
+        hc0 = jnp.any(clusters, axis=0)
+        return jnp.asarray(c.static_pat) + hc0.astype(jnp.int32) * n_static
+
+    def pattern_counts(self, clusters, source):
+        """(P, F, C) source counts per availability pattern — the exact
+        sufficient statistic of the weights likelihood (see
+        operators.make_gibbs_sample_weights). Full recompute: one MXU
+        matmul streaming the source tensor (bf16 operands are exact for
+        0/1 values, f32 accumulate); the sampling loop instead maintains
+        ChainState.pat_counts by delta updates and only calls this from
+        fill_state / the periodic exact refresh."""
+        c = self.consts
+        P = int(c.pat_bits.shape[0])
+        pat_oh = jax.nn.one_hot(self.source_patterns(clusters), P,
+                                dtype=jnp.bfloat16)                  # (N, P)
+
+        def slice_fn(source_t):
+            f = source_t.shape[1]
+            m = jnp.dot(
+                pat_oh.T,
+                source_t.reshape(source_t.shape[0], f * c.C).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            return m.reshape(P, f, c.C)
+
+        fc = c.feature_chunk
+        if fc is None or fc >= c.F:
+            return slice_fn(source)
+        from sbayes_tpu.model.math import feature_tile
+
+        cnt_t = jax.lax.map(
+            lambda i: slice_fn(feature_tile(source, i, fc, axis=1)),
+            jnp.arange(c.F // fc),
+        )  # (T, P, fc, C)
+        return jnp.moveaxis(cnt_t, 0, 1).reshape(P, c.F, c.C)
+
     # ---------------- priors ----------------
 
     def size_prior(self, clusters):
@@ -148,6 +192,31 @@ class Posterior:
         """Whether states should carry per-cluster skeleton aggregates."""
         return self.consts.geo.prior_type != "uniform"
 
+    def _mst_engine(self) -> str:
+        """MST kernel choice (read at trace time).
+
+        'prim' — masked early-exit Prim (ops/mst.py): minimal FLOPs, but
+        sequential depth = cluster size, and under vmap the while_loop runs
+        to the BATCH-MAX size (one big cluster serializes every chain).
+        'boruvka' — log-depth contraction (ops/boruvka.py): fixed
+        ceil(log2 N) rounds of dense (N, N) reductions regardless of batch
+        composition. Env SBAYES_TPU_MST=prim|boruvka|auto; auto resolves
+        per benchmarks/geo_probe.py measurements (TPU: prim stays at the
+        dispatch floor for the headline shapes — see NEXT.md round 3)."""
+        import os
+
+        eng = os.environ.get("SBAYES_TPU_MST", "auto")
+        return "prim" if eng == "auto" else eng
+
+    def _mst_triple(self, cost, mask):
+        """(total, n_edges, max_edge) of one cluster's MST (engine-switched)."""
+        if self._mst_engine() == "boruvka":
+            from sbayes_tpu.ops.boruvka import cluster_mst_stats
+
+            return cluster_mst_stats(cost, mask)
+        edges, count = cluster_mst_edge_costs(cost, mask)
+        return edges.sum(), count.astype(cost.dtype), edges.max()
+
     def _geo_cost_matrix(self):
         c = self.consts
         cost = jnp.asarray(c.cost_matrix)
@@ -163,8 +232,8 @@ class Posterior:
         dtype = cost.dtype
         skeleton = "mst" if g.prior_type == "simulated" else g.skeleton
         if skeleton == "mst":
-            edges, count = cluster_mst_edge_costs(cost, mask)
-            return jnp.stack([edges.sum(), count.astype(dtype), edges.max()])
+            total, count, max_e = self._mst_triple(cost, mask)
+            return jnp.stack([total, count.astype(dtype), max_e])
         if skeleton == "complete_graph":
             outer = (mask[:, None] & mask[None, :]).astype(dtype)
             total = (cost * outer).sum()
@@ -222,8 +291,7 @@ class Posterior:
         cost = jnp.asarray(c.cost_matrix)
         dtype = cost.dtype
         if g.skeleton == "mst":
-            edges, count = cluster_mst_edge_costs(cost, mask)
-            total, n_edges, max_e = edges.sum(), count, edges.max()
+            total, n_edges, max_e = self._mst_triple(cost, mask)
         elif g.skeleton == "complete_graph":
             # Aggregate over the full (m, m) submatrix incl. the diagonal,
             # matching reference np aggregation over cost_mat[c][:, c].
@@ -268,9 +336,9 @@ class Posterior:
             cost = jnp.asarray(c.cost_matrix) * (0.020838 / g.mean_edge_length)
 
             def one(mask):
-                edges, _count = cluster_mst_edge_costs(cost, mask)
+                total, _count, _max_e = self._mst_triple(cost, mask)
                 n = mask.sum().astype(dtype)
-                return _simulated_sigmoid(edges.sum(), n)
+                return _simulated_sigmoid(total, n)
 
             return jax.vmap(one)(clusters)
         raise ValueError(f"Unknown geo prior type {g.prior_type}")
@@ -303,8 +371,7 @@ class Posterior:
             total, count = geo_agg[i_cluster, 0], geo_agg[i_cluster, 1]
             max_edge = geo_agg[i_cluster, 2]
         else:
-            edges, count = cluster_mst_edge_costs(cost, cluster)
-            total, max_edge = edges.sum(), edges.max()
+            total, count, max_edge = self._mst_triple(cost, cluster)
         if g.aggregation == "mean":
             aggr_before = total / jnp.maximum(count, 1).astype(dtype)
             aggr_after = (cost_to_cluster + m * aggr_before) / (1 + m)
@@ -390,6 +457,7 @@ class Posterior:
             log_lh=p.log_lh, log_prior=p.log_prior, prior_parts=p.prior_vector(),
             cl_counts=counts[0], conf_counts=counts[1],
             geo_agg=self.geo_agg_of(state.clusters),
+            pat_counts=self.pattern_counts(state.clusters, state.source),
         )
 
 

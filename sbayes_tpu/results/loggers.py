@@ -249,7 +249,16 @@ class ParametersCSVLogger(ResultsLogger):
         if self.log_sample_id:
             row["sample_id"] = sample.chain
 
-        row_str = "\t".join(self.float_format % row[k] for k in self.column_names)
+        # Integer columns (Sample, size_a*, sample_id) are written exactly:
+        # pushing the step counter through float_format ("%.8g") would lose
+        # integer precision past 1e8 steps (the reference writes it exactly,
+        # loggers.py:186).
+        def _fmt(v):
+            if isinstance(v, (int, np.integer)):
+                return str(int(v))
+            return self.float_format % v
+
+        row_str = "\t".join(_fmt(row[k]) for k in self.column_names)
         self.file.write(row_str + "\n")
 
 

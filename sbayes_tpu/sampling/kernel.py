@@ -167,6 +167,16 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
                     f"operator {spec.name}: source_rows requires "
                     "source_prior_delta (the kernel must not recompute "
                     "source terms from the old buffer)")
+            if res.source_rows is not None and res.ll_delta is None and (
+                    res.state.cl_counts is None):
+                # Without carried counts AND without an ll_delta,
+                # evaluate_candidate would fall back to
+                # post.log_likelihood(cand), which reads the STALE source
+                # buffer — a silently wrong MH ratio.
+                raise ValueError(
+                    f"operator {spec.name}: source_rows requires carried "
+                    "counts or ll_delta (the likelihood must not be "
+                    "recomputed from the old source buffer)")
             cand, d_ll, d_prior = evaluate_candidate(
                 spec, state, res.state,
                 sp_delta=res.source_prior_delta, ll_delta=res.ll_delta)
@@ -193,10 +203,15 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
                 # padded proposals carry index N, whose writes XLA drops.
                 # With the buffer scan-carried and otherwise dead, XLA
                 # performs the scatter in place — no 150 MB copy per step.
+                # mode= pins the out-of-bounds semantics the scheme relies
+                # on (gathered values at idx==N are dead; writes dropped)
+                # rather than leaning on JAX's defaults.
                 idx, rows_new = res.source_rows
-                rows_final = jnp.where(accept, rows_new, state.source[idx])
+                rows_final = jnp.where(
+                    accept, rows_new,
+                    state.source.at[idx].get(mode="fill", fill_value=False))
                 new_state = new_state._replace(
-                    source=state.source.at[idx].set(rows_final))
+                    source=state.source.at[idx].set(rows_final, mode="drop"))
             return new_state, accept, res.step_size, nf
 
         return branch

@@ -510,6 +510,34 @@ class OperatorFactory:
             row_old, a_row, d_conf_row * has_g).sum()
         return cl, conf, ll_d
 
+    def _delta_pat(self, pat_counts, obj_idx, valid, hc0_old, hc0_new,
+                   old_rows, new_rows):
+        """Exact availability-pattern count update (ChainState.pat_counts)
+        for the changed source rows at ``obj_idx``: remove each old row at
+        its old pattern, add the new row at its new pattern. Exact in f32
+        (integer-valued counts; bf16 operands are exact for 0/1 rows).
+        ``hc0_old/new``: (m,) any-cluster membership bit of each object
+        before/after the move (the only dynamic pattern bit)."""
+        if pat_counts is None:
+            return None
+        c = self.consts
+        P = int(c.pat_bits.shape[0])
+        n_static = P // 2
+        static_m = jnp.asarray(c.static_pat).at[obj_idx].get(mode="clip")
+        pat_old = static_m + hc0_old.astype(jnp.int32) * n_static
+        pat_new = static_m + hc0_new.astype(jnp.int32) * n_static
+        v = valid.astype(jnp.bfloat16)[:, None]
+        oh_old = jax.nn.one_hot(pat_old, P, dtype=jnp.bfloat16) * v    # (m, P)
+        oh_new = jax.nn.one_hot(pat_new, P, dtype=jnp.bfloat16) * v
+        m = obj_idx.shape[0]
+        old_f = old_rows.reshape(m, -1).astype(jnp.bfloat16)           # (m, F*C)
+        new_f = new_rows.reshape(m, -1).astype(jnp.bfloat16)
+        delta = (
+            jnp.dot(oh_new.T, new_f, preferred_element_type=jnp.float32)
+            - jnp.dot(oh_old.T, old_f, preferred_element_type=jnp.float32)
+        )
+        return pat_counts + delta.reshape(pat_counts.shape)
+
     def _update_geo(self, geo_agg, clusters_new, *changed_clusters):
         """Re-derive the carried (K, 3) geo-skeleton aggregates for the
         changed cluster indices only (exact recompute of the changed
@@ -599,12 +627,18 @@ class OperatorFactory:
                 counts, obj, state.clusters, clusters_new,
                 state.source[obj], rs.new_rows[0])
             counts_new = (cl_new, conf_new)
+            pat_new = self._delta_pat(
+                state.pat_counts, obj[None], jnp.ones(1, bool),
+                jnp.any(state.clusters[:, obj], axis=0)[None],
+                jnp.any(clusters_new[:, obj], axis=0)[None],
+                state.source[obj][None], rs.new_rows)
             # source stays the OLD buffer: the row write is deferred to the
             # MH kernel via OpResult.source_rows (rs.new_rows).
             state_new = self._put_counts(
                 state._replace(
                     clusters=clusters_new,
                     geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster),
+                    pat_counts=pat_new,
                 ), counts_new)
 
             # Backward marginal (one pass on the selected new state).
@@ -871,6 +905,11 @@ class OperatorFactory:
             counts_new = cond.delta_counts_rows_move(
                 counts, state.clusters, clusters_new, obj_idx, valid,
                 state.source[obj_idx], rs.new_rows, feats_m)
+            pat_new = self._delta_pat(
+                state.pat_counts, obj_idx, valid,
+                jnp.any(state.clusters[:, obj_idx], axis=0),
+                jnp.any(clusters_new[:, obj_idx], axis=0),
+                state.source[obj_idx], rs.new_rows)
             # source stays the OLD buffer: row write deferred to the MH
             # kernel (OpResult.source_rows). The backward cluster_probs
             # below reads only counts/weights/clusters — never source.
@@ -878,6 +917,7 @@ class OperatorFactory:
                 state._replace(
                     clusters=clusters_new,
                     geo_agg=self._update_geo(state.geo_agg, clusters_new, i_cluster),
+                    pat_counts=pat_new,
                 ), counts_new)
 
             p_back = cluster_probs(state_new, i_cluster, avail, counts_new)
@@ -896,8 +936,13 @@ class OperatorFactory:
                 source_prior_delta=rs.source_prior_delta,
                 source_rows=rows,
             )
-            return _select_result(
+            res = _select_result(
                 rejected, _reject(state, with_delta=True, source_rows=rows), res)
+            # keep the flip count visible on rejected proposals too (the MH
+            # kernel only accumulates step_size on accepts, so stats are
+            # unaffected; probes read it to measure the wide-cap
+            # auto-reject rate, m > wide_rows_cap)
+            return res._replace(step_size=m.astype(jnp.float32))
 
         return op
 
@@ -934,6 +979,9 @@ class OperatorFactory:
                 # keep the carried-counts invariant through initializer steps
                 state_new = self._put_counts(
                     state_new, cond.post.feature_counts(clusters_new, rs.source))
+            if state.pat_counts is not None:
+                state_new = state_new._replace(
+                    pat_counts=cond.post.pattern_counts(clusters_new, rs.source))
             return state_new
 
         return ml_step
@@ -1132,12 +1180,18 @@ class OperatorFactory:
                 (cl_counts, conf_counts), obj, state.clusters, clusters_new,
                 state.source[obj], rs.new_rows[0],
             )
+            pat_new = self._delta_pat(
+                state.pat_counts, obj[None], jnp.ones(1, bool),
+                jnp.any(state.clusters[:, obj], axis=0)[None],
+                jnp.any(clusters_new[:, obj], axis=0)[None],
+                state.source[obj][None], rs.new_rows)
             # source stays the OLD buffer (row write deferred to the MH
             # kernel); the backward jump_lh reads only counts/weights/hc.
             state_new = self._put_counts(
                 state._replace(
                     clusters=clusters_new,
                     geo_agg=self._update_geo(state.geo_agg, clusters_new, i_src, i_tgt),
+                    pat_counts=pat_new,
                 ), (cl_counts2, conf_counts2))
             if gibbsish and not self.sample_from_prior:
                 pjb = jump_lh(state_new, cl_counts2, conf_counts2, i_tgt, i_src)
@@ -1242,9 +1296,13 @@ class OperatorFactory:
             log_q = cond._rows_logp(p, new_rows, valid, na_m)
             counts_new = cond.delta_counts_rows(counts_old, state.clusters, obj_idx,
                                                 valid, old_rows, new_rows, feats_m)
+            # clusters unchanged -> patterns unchanged; only rows move
+            pat_new = self._delta_pat(state.pat_counts, obj_idx, valid,
+                                      hc0, hc0, old_rows, new_rows)
             # source row write deferred to the MH kernel (source_rows);
             # the backward posterior below reads only counts_new.
-            state_new = self._put_counts(state, counts_new)
+            state_new = self._put_counts(
+                state._replace(pat_counts=pat_new), counts_new)
 
             if self.sample_from_prior:
                 p_back = p
@@ -1345,8 +1403,11 @@ class OperatorFactory:
 
             (cl_new, conf_new, new_rows), _ = lax.scan(
                 body, (counts_old[0], counts_old[1], old_rows), jnp.arange(k_cap))
+            pat_new = self._delta_pat(state.pat_counts, obj_idx, valid,
+                                      hc0, hc0, old_rows, new_rows)
             # source row write deferred to the MH kernel (source_rows).
-            state_new = self._put_counts(state, (cl_new, conf_new))
+            state_new = self._put_counts(
+                state._replace(pat_counts=pat_new), (cl_new, conf_new))
 
             sp_delta = (
                 cond.source_prior_rows_logp(state.weights, hc_m, new_rows, valid, na_m)
@@ -1370,7 +1431,10 @@ class OperatorFactory:
 
             log_q = cond._masked_source_logp(p, source_new, subset)
             counts_new = cond.post.feature_counts(state.clusters, source_new)
-            state_new = self._put_counts(state._replace(source=source_new), counts_new)
+            pat_new = (None if state.pat_counts is None else
+                       cond.post.pattern_counts(state.clusters, source_new))
+            state_new = self._put_counts(
+                state._replace(source=source_new, pat_counts=pat_new), counts_new)
             p_back = posterior_probs(state_new, counts_new)
             log_q_back = cond._masked_source_logp(p_back, state.source, subset)
 
@@ -1428,7 +1492,10 @@ class OperatorFactory:
             log_q = lq_t.sum()
 
             counts_new = cond.post.feature_counts(state.clusters, source_new)
-            state_new = self._put_counts(state._replace(source=source_new), counts_new)
+            pat_new = (None if state.pat_counts is None else
+                       cond.post.pattern_counts(state.clusters, source_new))
+            state_new = self._put_counts(
+                state._replace(source=source_new, pat_counts=pat_new), counts_new)
 
             def back_tile(i):
                 na_t = feature_tile(na_full, i, fc, axis=1)
@@ -1480,9 +1547,6 @@ class OperatorFactory:
         F = consts.F
         conc_w = jnp.asarray(consts.conc_weights)
 
-        fc = consts.feature_chunk
-        chunked = fc is not None and fc < F
-
         # Availability-pattern sufficient statistics: every observation
         # selects exactly ONE component and source is all-zero at NA
         # (prior_sampling.py:61, conditionals.py `& ~na`), so the
@@ -1493,41 +1557,14 @@ class OperatorFactory:
         #   ll(w)[f] = sum_{p,c} cnt[p,f,c]*log w[f,c]
         #            - sum_p (sum_c cnt[p,f,c]) * log(sum_c pat_c*w[f,c])
         #
-        # ONE pass over the (N,F,C) source tensor (an MXU matmul with
-        # K=N) then prices BOTH the old and the proposed weights — the
-        # old path streamed source three times and materialized (N,f,C)
-        # normalized-weight temps per tile. P = 2^C patterns (C is the
-        # component count, <= a handful in every real model).
-        P = 2 ** C
-        pow2 = jnp.asarray([1 << c for c in range(C)], jnp.int32)
-        pat_bits = jnp.asarray(
-            [[(p >> c) & 1 for c in range(C)] for p in range(P)], jnp.float32)
-
-        def pattern_counts(source, hc):
-            """(P, F, C) f32 source counts by availability pattern."""
-            pat = (hc.astype(jnp.int32) * pow2).sum(-1)          # (N,)
-            # bf16 operands, f32 accumulate: 0/1 values are exact in bf16
-            # and the (N, fc*C) expansion temp halves (the matmul is
-            # traffic-bound on that temp at 10k x 5k).
-            pat_oh = jax.nn.one_hot(pat, P, dtype=jnp.bfloat16)  # (N, P)
-
-            def slice_fn(source_t):
-                f = source_t.shape[1]
-                m = jnp.dot(pat_oh.T,
-                            source_t.reshape(source_t.shape[0], f * C)
-                            .astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-                return m.reshape(P, f, C)
-
-            if not chunked:
-                return slice_fn(source)
-            from sbayes_tpu.model.math import feature_tile
-
-            cnt_t = jax.lax.map(
-                lambda i: slice_fn(feature_tile(source, i, fc, axis=1)),
-                jnp.arange(F // fc),
-            )  # (T, P, fc, C)
-            return jnp.moveaxis(cnt_t, 0, 1).reshape(P, F, C)
+        # cnt is CARRIED in the chain state (ChainState.pat_counts,
+        # delta-updated by every source/cluster-touching operator) — this
+        # branch streams NOTHING N-sized; it prices BOTH the old and the
+        # proposed weights from the (P, F, C) table. Patterns are the
+        # 2 * n_static_confounder_patterns ids of ModelConstants.static_pat
+        # (only the any-cluster bit is dynamic); pat_bits maps each pattern
+        # to its availability indicator over components.
+        pat_bits = jnp.asarray(consts.pat_bits)                  # (P, C)
 
         def source_lh_by_feature(cnt, weights):
             """(F,) source log-lh from pattern counts (exact reordering
@@ -1544,9 +1581,12 @@ class OperatorFactory:
         def op(key, state):
             k_pair, k_beta, k_acc = jax.random.split(key, 3)
             w = state.weights
-            hc = cond.post.has_components(state.clusters)
 
-            cnt = pattern_counts(state.source, hc)               # (P, F, C)
+            # carried sufficient statistic; recompute only on unfilled
+            # states (direct op calls in tests / initializer contexts)
+            cnt = state.pat_counts                               # (P, F, C)
+            if cnt is None:
+                cnt = cond.post.pattern_counts(state.clusters, state.source)
             ll_old = source_lh_by_feature(cnt, w)
             lp_old = pointwise_prior(w)
 

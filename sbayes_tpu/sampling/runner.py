@@ -175,6 +175,7 @@ class SamplerRuntime:
             return jitted(self.consts, keys, states, stats, T, Tp, n_steps,
                           _all_unit_temps(T, Tp))
 
+        call._jitted = jitted  # AOT lowering access (benchmarks/sharding_plan.py)
         return call
 
     def _build_run_chunk_trace(self):
@@ -543,6 +544,39 @@ class SamplerRuntime:
             cluster_contribution_prior=contrib_prior,
             chain=chain,
         )
+
+    def warmup_ladder(self, key, n_chains: int, warmup_chains: int, temps,
+                      prior_temps, n_steps: int, logger=None) -> ChainState:
+        """Best-of-W warm-up race PER MC3 ladder rung (reference
+        mcmc_setup.py:507-526: each chain process runs ``warmup_chains``
+        sequential init+warm-ups at its own temperature and keeps the
+        argmax by log-likelihood). Here all n_chains x W warm-ups are one
+        vmapped axis; returns the (n_chains,) selected states."""
+        W = max(1, int(warmup_chains))
+        k_init, k_run = jax.random.split(key)
+        states = self.init_chains(k_init, n_chains * W)
+        if n_steps > 0:
+            temps_cw = jnp.repeat(jnp.asarray(temps, jnp.float32), W)
+            ptemps_cw = jnp.repeat(jnp.asarray(prior_temps, jnp.float32), W)
+            keys, stats, temps_cw, ptemps_cw = self.shard_ensemble(
+                n_chains * W,
+                jax.random.split(k_run, n_chains * W),
+                jax.vmap(lambda _: OperatorStats.zeros(self.n_ops))(
+                    jnp.arange(n_chains * W)),
+                temps_cw, ptemps_cw,
+            )
+            carry = self.run_chunk(keys, states, stats, temps_cw, ptemps_cw, n_steps)
+            # exact recompute before ranking (carried totals drift; see warmup)
+            states = _refresh_states_jit(self.consts, self.sample_from_prior,
+                                         carry.state)
+        ll_cw = np.asarray(states.log_lh).reshape(n_chains, W)
+        sel = jnp.asarray(ll_cw.argmax(axis=1) + np.arange(n_chains) * W)
+        if logger and W > 1:
+            logger.info(
+                f"MC3 warm-up: best of {W} per rung; selected log-likelihoods "
+                f"{ll_cw.max(axis=1).round(2).tolist()}"
+            )
+        return jax.tree.map(lambda x: x[sel], states)
 
     def warmup(self, key, n_chains: int, n_steps: int, logger=None) -> ChainState:
         """Warm-up race: run n_chains, keep the best by likelihood
@@ -969,17 +1003,13 @@ class MCMCSetup:
             # then continues monotonically instead of restarting at 0.
             i_step_start = min(step_starts)
         else:
-            # Warm-up every chain (vmapped): best-of warmup_chains per chain
-            # is approximated by one warm-up per chain (the ladder itself
-            # provides the exploration diversity).
-            states = rt.init_chains(k_init, n_chains)
-            stats0 = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(n_chains))
-            if cfg.warmup.warmup_steps > 0:
-                carry = rt.run_chunk(
-                    jax.random.split(jax.random.fold_in(k_init, 1), n_chains),
-                    states, stats0, temps, ptemps, cfg.warmup.warmup_steps,
-                )
-                states = carry.state
+            # Best-of-W warm-up race per ladder rung at the rung's own
+            # temperature (reference mcmc_setup.py:507-526) — all
+            # n_chains x W warm-ups run as one vmapped axis.
+            states = rt.warmup_ladder(
+                k_init, n_chains, cfg.warmup.warmup_chains, temps, ptemps,
+                cfg.warmup.warmup_steps, logger=self.logger,
+            )
 
         # Multi-chip: the whole temperature ladder is one sharded chain axis
         # (the swap phase's chain permutation becomes an XLA collective).

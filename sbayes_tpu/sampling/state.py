@@ -51,6 +51,14 @@ class ChainState(NamedTuple):
     # analogous per-cluster geo prior, prior.py:769-805). ``None`` when
     # the geo prior is uniform or before ``Posterior.fill_state``.
     geo_agg: jnp.ndarray = None      # f32 (K, 3)
+    # Carried availability-pattern source counts (P, F, C) — the sufficient
+    # statistic of the weights likelihood (gibbs_sample_weights prices both
+    # the old and proposed weights from it without streaming the (N, F, C)
+    # source tensor). Exact integer-valued f32, delta-updated from the same
+    # row deltas every source/cluster-touching operator already computes;
+    # pattern ids per ModelConstants.static_pat/pat_bits. ``None`` only
+    # before ``Posterior.fill_state``.
+    pat_counts: jnp.ndarray = None   # f32 (P, F, C)
 
     @property
     def n_clusters(self):
@@ -82,6 +90,8 @@ class ChainState(NamedTuple):
             d["conf_counts"] = np.asarray(self.conf_counts)
         if self.geo_agg is not None:
             d["geo_agg"] = np.asarray(self.geo_agg)
+        if self.pat_counts is not None:
+            d["pat_counts"] = np.asarray(self.pat_counts)
         return d
 
     @classmethod
@@ -103,6 +113,8 @@ class ChainState(NamedTuple):
                          if "conf_counts" in d else None),
             geo_agg=(jnp.asarray(d["geo_agg"], jnp.float32)
                      if "geo_agg" in d else None),
+            pat_counts=(jnp.asarray(d["pat_counts"], jnp.float32)
+                        if "pat_counts" in d else None),
         )
 
 

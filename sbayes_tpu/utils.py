@@ -165,47 +165,45 @@ def range_like(a):
 def encode_states(features_raw: pd.DataFrame, feature_states: pd.DataFrame):
     """Encode raw categorical features as a one-hot boolean tensor.
 
-    Returns a dict with 'values' (n_objects, n_features, n_states),
-    'states' (applicable-state mask per feature) and 'state_names', plus the
-    number of NA observations. NA observations are all-zero rows.
+    Each column of ``feature_states`` lists the legal state labels of one
+    feature (shorter lists are NaN-padded); each column of ``features_raw``
+    holds the observed label per object. Observations are mapped to integer
+    state codes via ``pd.Categorical`` and scattered into a boolean
+    (n_objects, n_features, n_states) tensor in one fancy-index write per
+    feature; NA observations stay all-zero rows.
+
+    Returns (dict with 'values' / 'states' applicable-state mask /
+    'state_names', n_NA). Behavior matches reference util.py:294-346.
     """
-    n_states, n_features = feature_states.shape
-    features_bin_shape = features_raw.shape + (n_states,)
-    n_sites, _f = features_raw.shape
-    assert n_features == _f
+    n_states = feature_states.shape[0]
+    n_objects = features_raw.shape[0]
+    columns = list(feature_states.columns)
+    if list(features_raw.columns) != columns:
+        features_raw = features_raw.loc[:, columns]
 
-    features_bin = np.zeros(features_bin_shape, dtype=int)
-    applicable_states = np.zeros((n_features, n_states), dtype=bool)
-    state_names: list[list[str]] = []
+    state_names = [feature_states[c].dropna().tolist() for c in columns]
+    # applicable-state mask: state slot s is legal for feature f iff the
+    # feature_states cell is non-NaN
+    applicable_states = feature_states.notna().to_numpy().T  # (F, S)
+
+    values = np.zeros((n_objects, len(columns), n_states), dtype=bool)
     na_number = 0
-
-    one_hot = np.eye(n_states)
-
-    for f_idx in range(n_features):
-        f_name = feature_states.columns[f_idx]
-        f_states = feature_states[f_name]
-
-        applicable_states[f_idx] = ~f_states.isna()
-
-        s_ext = f_states.dropna().to_list()
-        state_names.append(s_ext)
-
-        ext_to_int = dict(zip(s_ext, range_like(s_ext)))
-        f_raw = features_raw[f_name]
-        f_enc = f_raw.map(ext_to_int)
-        if not set(f_raw.dropna()).issubset(set(s_ext)):
+    for i_f, col in enumerate(columns):
+        observed = features_raw[col]
+        codes = pd.Categorical(observed, categories=state_names[i_f]).codes
+        is_na = observed.isna().to_numpy()
+        undefined = (codes < 0) & ~is_na
+        if undefined.any():
             raise ValueError(
-                f"Features of feature `{f_name}` contain states that are not defined in "
-                f"the feature_states file: {set(f_raw.dropna()) - set(s_ext)}"
+                f"Features of feature `{col}` contain states that are not defined "
+                f"in the feature_states file: {sorted(set(observed[undefined]))}"
             )
-
-        f_applicable = ~f_enc.isna().to_numpy()
-        f_enc_applicable = f_enc[f_applicable].astype(int)
-        features_bin[f_applicable, f_idx] = one_hot[f_enc_applicable]
-        na_number += int(np.count_nonzero(f_enc.isna()))
+        rows = np.flatnonzero(codes >= 0)
+        values[rows, i_f, codes[rows]] = True
+        na_number += int(is_na.sum())
 
     features = {
-        "values": features_bin.astype(bool),
+        "values": values,
         "states": applicable_states,
         "state_names": state_names,
     }

@@ -55,6 +55,16 @@ def test_state_counts_match_full_recompute(setup):
                 np.asarray(res.state.conf_counts), np.asarray(conf),
                 err_msg=f"{spec.name} seed {seed}: confounder counts diverge",
             )
+            # carried availability-pattern counts (weights-likelihood
+            # sufficient statistic) must also track the full recompute
+            assert res.state.pat_counts is not None, (
+                f"{spec.name}: candidate state lost the carried pattern counts"
+            )
+            pat = jax.jit(cond.post.pattern_counts)(st.clusters, st.source)
+            np.testing.assert_array_equal(
+                np.asarray(res.state.pat_counts), np.asarray(pat),
+                err_msg=f"{spec.name} seed {seed}: pattern counts diverge",
+            )
 
 
 def test_counts_survive_a_kernel_chunk(setup):
@@ -70,6 +80,8 @@ def test_counts_survive_a_kernel_chunk(setup):
     )
     np.testing.assert_array_equal(np.asarray(carry.state.cl_counts), np.asarray(cl))
     np.testing.assert_array_equal(np.asarray(carry.state.conf_counts), np.asarray(conf))
+    pat = jax.jit(cond.post.pattern_counts)(carry.state.clusters, carry.state.source)
+    np.testing.assert_array_equal(np.asarray(carry.state.pat_counts), np.asarray(pat))
     # carried prior decomposition (incl. delta-updated source prior) must
     # track a full recompute
     parts = jax.jit(cond.post.parts)(carry.state)

@@ -50,6 +50,10 @@ def test_resume_continues_partial_run(results_dir):
 def test_full_run_produces_results(results_dir):
     out = _run(results_dir)
 
+    # log file uses the reference naming (experiment_K{K}_{run}.log,
+    # ref experiment_setup.py:70-76)
+    assert (out.parent / "experiment_K1_0.log").exists()
+
     stats = out / "stats_K1_0.txt"
     clusters = out / "clusters_K1_0.txt"
     lh_h5 = out / "likelihood_K1_0.h5"
@@ -91,6 +95,26 @@ def test_full_run_produces_results(results_dir):
     txt = op_stats.read_text()
     assert "OPERATOR" in txt and "ACCEPT-RATE" in txt
     assert "gibbs_sample_weights" in txt
+
+    # integer columns written exactly (no %.8g rounding of the step id)
+    lines = stats.read_text().splitlines()
+    header = lines[0].split("\t")
+    first = dict(zip(header, lines[1].split("\t")))
+    assert first["Sample"] == "20"
+    assert "." not in first["size_a0"] and "e" not in first["size_a0"]
+
+
+def test_cli_resume_flag_parsing():
+    """argparse `type=bool` would make --resume False truthy (the
+    reference's wart, cli.py:142-146); ours parses boolean strings."""
+    import argparse
+
+    from sbayes_tpu.cli import _str2bool
+
+    assert _str2bool("False") is False and _str2bool("0") is False
+    assert _str2bool("true") is True and _str2bool("1") is True
+    with pytest.raises(argparse.ArgumentTypeError):
+        _str2bool("maybe")
 
 
 def test_resume_of_finished_run_is_noop(results_dir):

@@ -108,3 +108,28 @@ def test_boruvka_batch_vmap(rng):
         want = shifted_scipy_mst_edges(cost.astype(float), masks[i])
         assert int(cnt[i]) == len(want)
         np.testing.assert_allclose(float(tot[i]), want.sum(), rtol=1e-5, atol=1e-6)
+
+
+def test_posterior_mst_engine_switch(rng, monkeypatch):
+    """Posterior.skeleton_triple under SBAYES_TPU_MST=boruvka must equal the
+    Prim default on random clusters (the engine is a pure backend swap)."""
+    import jax
+
+    from sbayes_tpu.model.model import Model
+    from sbayes_tpu.model.posterior import Posterior
+    from sbayes_tpu.testing import synthetic_config, synthetic_data
+
+    data = synthetic_data(n_objects=20, n_features=4, n_states=3, seed=2)
+    config = synthetic_config(n_clusters=2, geo_prior="cost_based", rate=1e6)
+    post = Posterior(Model(data, config.model).consts)
+
+    masks = np.zeros((6, 20), bool)
+    for i in range(6):
+        masks[i, rng.choice(20, size=rng.integers(1, 12), replace=False)] = True
+    masks = jnp.asarray(masks)
+
+    monkeypatch.setenv("SBAYES_TPU_MST", "prim")
+    prim = np.asarray(jax.jit(jax.vmap(post.skeleton_triple))(masks))
+    monkeypatch.setenv("SBAYES_TPU_MST", "boruvka")
+    bor = np.asarray(jax.jit(jax.vmap(post.skeleton_triple))(masks))
+    np.testing.assert_allclose(prim, bor, rtol=1e-5, atol=1e-5)

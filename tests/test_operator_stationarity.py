@@ -61,3 +61,74 @@ def test_cluster_operators_preserve_prior(tmp_path):
         if pv <= 0.005:
             failures.append(f"object {o}: mcmc={in_any[:, o].mean():.3f} prior={p:.3f} p={pv:.4f}")
     assert not failures, "cluster-family stationarity violations:\n" + "\n".join(failures)
+
+
+@pytest.mark.slow
+def test_wide_cap_truncation_is_stationary(monkeypatch):
+    """Force the wide operator's gathered-rows cap tiny (3 of 12 objects)
+    so multi-object proposals routinely auto-reject: the truncation is
+    symmetric (the flip count is identical forward and backward), so the
+    restricted proposal must still preserve the prior's membership
+    marginals (VERDICT r3 weak #3; ref operators.py:1382-1568)."""
+    monkeypatch.setenv("SBAYES_TPU_WIDE_ROWS_CAP", "3")
+
+    import jax.numpy as jnp
+
+    from sbayes_tpu.model.model import Model
+    from sbayes_tpu.model.posterior import Posterior
+    from sbayes_tpu.sampling.conditionals import Conditionals
+    from sbayes_tpu.sampling.kernel import OperatorStats, make_chunk_runner
+    from sbayes_tpu.sampling.operators import OperatorFactory, OperatorSpec
+    from sbayes_tpu.sampling.prior_sampling import (
+        generate_prior_sample, generate_prior_samples)
+    from sbayes_tpu.testing import synthetic_config, synthetic_data
+
+    data = synthetic_data(n_objects=12, n_features=4, n_states=3, n_families=2,
+                          seed=11)
+    config = synthetic_config(n_clusters=2, geo_prior="uniform")
+    model = Model(data, config.model)
+    cond = Conditionals(Posterior(model.consts, sample_from_prior=True), 1.0, 1.0)
+    factory = OperatorFactory(cond)
+    assert factory.wide_rows_cap == 3
+
+    wide = factory.make_alter_cluster_wide(consider_geo=False)
+    ops = [OperatorSpec("wide", 1.0, wide, "clusters")]
+    run = make_chunk_runner(cond, ops)
+
+    state = jax.jit(lambda k: generate_prior_sample(k, cond))(jax.random.PRNGKey(0))
+    state = jax.jit(cond.post.fill_state)(state)
+
+    # the cap must actually bind: a healthy share of proposals flip > 3
+    # objects (OpResult.step_size carries the flip count even on reject)
+    wide_j = jax.jit(wide)
+    flips = np.asarray([
+        float(wide_j(jax.random.PRNGKey(1000 + s), state).step_size)
+        for s in range(60)
+    ])
+    assert (flips > 3).mean() > 0.2, (
+        f"cap never binds (flip counts {flips[:20]}): test is vacuous")
+
+    stats = OperatorStats.zeros(1)
+    key = jax.random.PRNGKey(42)
+    occupancy = []
+    n_chunks, chunk = 250, 60
+    for _ in range(n_chunks):
+        key, k = jax.random.split(key)
+        carry = run(k, state, stats, chunk)
+        state, stats = carry.state, carry.stats
+        occupancy.append(np.asarray(state.clusters).any(axis=0))
+    assert int(stats.accepts.sum()) > 200, "wide operator stopped mixing under the cap"
+
+    occ = np.asarray(occupancy[n_chunks // 5:])
+    ref = generate_prior_samples(jax.random.PRNGKey(5), cond, 4000)
+    p_ref = np.asarray(ref.clusters).any(axis=1).mean(axis=0)
+    n = occ.shape[0]
+    failures = []
+    for o in range(occ.shape[1]):
+        p = float(np.clip(p_ref[o], 1e-9, 1 - 1e-9))
+        pv = binomtest(k=int(occ[:, o].sum()), n=n, p=p).pvalue
+        if pv <= 0.005:
+            failures.append(
+                f"object {o}: mcmc={occ[:, o].mean():.3f} prior={p:.3f} p={pv:.4f}")
+    assert not failures, (
+        "wide-cap stationarity violations:\n" + "\n".join(failures))

@@ -149,6 +149,43 @@ def test_auto_chain_mesh_policy():
         del os.environ["SBAYES_TPU_SHARDING"]
 
 
+def test_mc3_warmup_best_of_per_rung(small_runtime):
+    """warmup_ladder (reference mcmc_setup.py:507-526) runs W warm-up
+    chains per ladder rung and keeps the per-rung argmax by
+    log-likelihood; with warmup_steps=0 the selection over the raw
+    initializer states is exactly reproducible — and the rungs keep
+    DISTINCT initializations (ladder init diversity)."""
+    rt = small_runtime
+    n_chains, W = 3, 4
+    temps = 1.0 + 0.2 * jnp.arange(n_chains, dtype=jnp.float32)
+    key = jax.random.PRNGKey(21)
+
+    picked = rt.warmup_ladder(key, n_chains, W, temps, temps, n_steps=0)
+    assert picked.clusters.shape[0] == n_chains
+
+    # reproduce the selection: same key split + init grid
+    k_init, _ = jax.random.split(key)
+    grid = rt.init_chains(k_init, n_chains * W)
+    ll = np.asarray(grid.log_lh).reshape(n_chains, W)
+    expect_sel = ll.argmax(axis=1) + np.arange(n_chains) * W
+    np.testing.assert_allclose(
+        np.asarray(picked.log_lh), np.asarray(grid.log_lh)[expect_sel])
+    for i in range(n_chains):
+        np.testing.assert_array_equal(
+            np.asarray(picked.clusters[i]),
+            np.asarray(grid.clusters[expect_sel[i]]))
+
+    # init diversity: not all rungs collapsed onto identical states
+    flat = np.asarray(picked.clusters).reshape(n_chains, -1)
+    assert not all(np.array_equal(flat[0], flat[i]) for i in range(1, n_chains))
+
+    # and with warm-up steps the ladder still returns per-rung states
+    picked2 = rt.warmup_ladder(jax.random.PRNGKey(22), n_chains, 2, temps,
+                               temps, n_steps=10)
+    assert picked2.clusters.shape[0] == n_chains
+    assert np.all(np.isfinite(np.asarray(picked2.log_lh)))
+
+
 def test_ess_and_rhat():
     from sbayes_tpu.results.ess import effective_sample_size, split_rhat
 
