@@ -56,7 +56,7 @@ def run(n_objects=10_000, n_features=5_000, n_chains=4, chunk_steps=40):
     Tp = jnp.ones(n_chains, jnp.float32)
     stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(n_chains))
     keys = jax.random.split(jax.random.PRNGKey(1), n_chains)
-    swap_matrix = jnp.zeros((n_chains, n_chains), jnp.int32)
+    swap_matrix = jnp.zeros((2, n_chains, n_chains), jnp.int32)
     n_acc = n_att = jnp.zeros((), jnp.int32)
     swap_key = jax.random.PRNGKey(2)
 

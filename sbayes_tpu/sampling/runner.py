@@ -289,7 +289,11 @@ class SamplerRuntime:
                     ll = ll.at[a].set(jnp.where(accept, lb, la)).at[b].set(jnp.where(accept, la, lb))
                     qa, qb = lp[a], lp[b]
                     lp = lp.at[a].set(jnp.where(accept, qb, qa)).at[b].set(jnp.where(accept, qa, qb))
-                    swap_matrix = swap_matrix.at[a, b].add(accept.astype(jnp.int32))
+                    # (2, n, n): layer 0 accepts, layer 1 attempts — the
+                    # per-pair ATTEMPT counts turn the accept matrix into
+                    # per-rung acceptance rates for temperature_diff tuning
+                    swap_matrix = (swap_matrix.at[0, a, b].add(accept.astype(jnp.int32))
+                                   .at[1, a, b].add(1))
                     return perm, ll, lp, swap_matrix, n_acc + accept.astype(jnp.int32)
 
                 perm0 = jnp.arange(n_chains)
@@ -833,6 +837,8 @@ class MCMCSetup:
             i_step += steps_per_sample
             if (i_sample + 1) % REFRESH_EVERY_CHUNKS == 0:
                 states = _refresh_states_jit(rt.consts, rt.sample_from_prior, states)
+            if i_sample + 1 == max(1, cfg.samples // 2):
+                self._maybe_measure_op_times(keys, states, ones, ones, force=True)
 
             if int(jax.device_get(stats.non_finite.sum())) > 0:
                 raise ValueError("Non-finite log-posterior was accepted during MCMC.")
@@ -886,6 +892,11 @@ class MCMCSetup:
             i_step += steps_per_sample
             if (i_sample + 1) % REFRESH_EVERY_CHUNKS == 0:
                 states = _refresh_states_jit(rt.consts, rt.sample_from_prior, states)
+            if i_sample + 1 == max(1, n_samples // 2):
+                # midpoint re-probe on the equilibrated state
+                self._maybe_measure_op_times(
+                    jax.random.split(jax.random.fold_in(key, 0xbe5), 1),
+                    states, ones, ones, force=True)
 
             if int(jax.device_get(stats.non_finite[0])) > 0:
                 raise ValueError("Non-finite log-posterior was accepted during MCMC.")
@@ -909,9 +920,17 @@ class MCMCSetup:
             logger.close()
         self.logger.info(f"MCMC run finished after {time.time() - self.t_start:.1f} seconds")
 
-    def _maybe_measure_op_times(self, keys, states, temps, prior_temps):
-        """One-shot per-operator timing probe (config-gated)."""
-        if self._op_step_times is not None or not self.config.results.log_operator_step_times:
+    def _maybe_measure_op_times(self, keys, states, temps, prior_temps,
+                                force: bool = False):
+        """Per-operator timing probe (config-gated).
+
+        Runs once at start-up and again at the run's midpoint
+        (``force=True``) so the stats file's STEP-TIME column reflects the
+        equilibrated state distribution (cluster sizes change the MST
+        depth and gather widths) rather than the initializer's."""
+        if not self.config.results.log_operator_step_times:
+            return
+        if self._op_step_times is not None and not force:
             return
         t0 = time.time()
         self._op_step_times = self.runtime.measure_op_step_times(keys, states, temps, prior_temps)
@@ -1040,7 +1059,7 @@ class MCMCSetup:
         # cadence is independent of swap cadence (exactly cfg.samples rows).
         keys = rt.shard_ensemble(
             n_chains, jax.random.split(jax.random.fold_in(k_run, 99), n_chains))
-        swap_matrix_dev = jnp.zeros((n_chains, n_chains), jnp.int32)
+        swap_matrix_dev = jnp.zeros((2, n_chains, n_chains), jnp.int32)
         i_step = i_step_start
         i_sample_start = i_step_start // logging_interval
         for i_outer in range(i_sample_start, cfg.samples):
@@ -1060,9 +1079,13 @@ class MCMCSetup:
                 # swap ratios compare carried log_lh ACROSS chains — keep
                 # them drift-free over long ladders
                 states = _refresh_states_jit(rt.consts, rt.sample_from_prior, states)
+            if i_outer + 1 == max(1, cfg.samples // 2):
+                self._maybe_measure_op_times(
+                    jax.random.split(jax.random.fold_in(k_run, 0xbe5), n_chains),
+                    states, temps, ptemps, force=True)
 
             if mc3.log_swap_matrix and self.last_swap_matrix_save < self.swap_attempts:
-                self.swap_matrix = np.asarray(swap_matrix_dev)
+                self.swap_matrix = np.asarray(swap_matrix_dev[0])
                 path = self.path_results / f"mc3_swaps_K{self.model.n_clusters}_{run}.txt"
                 np.savetxt(path, self.swap_matrix, fmt="%i")
                 self.last_swap_matrix_save = self.swap_accepts
@@ -1083,6 +1106,15 @@ class MCMCSetup:
                 f"swap accept-rate={self.swap_accepts / max(self.swap_attempts, 1):.3f} "
                 f"({self.swap_attempts} attempts)"
             )
+            # Per-rung (adjacent-pair) acceptance summary for tuning
+            # mc3.temperature_diff (VERDICT r3 weak #7): too-cold rungs
+            # show ~0, too-tight ladders show ~1 everywhere.
+            sm = np.asarray(jax.device_get(swap_matrix_dev))
+            rung_rates = " ".join(
+                f"{i}<->{i + 1}:{sm[0, i, i + 1] / max(sm[1, i, i + 1], 1):.2f}"
+                for i in range(n_chains - 1)
+            )
+            self.logger.info(f"swap accept-rate per rung: {rung_rates}")
             self._print_screen_log(i_step, float(states.log_lh[0]))
 
         for chain_loggers in loggers_by_chain:

@@ -91,7 +91,7 @@ def _run_mc3(rt, states, n_chains, n_steps, mesh=None):
     stats = jax.vmap(lambda _: OperatorStats.zeros(rt.n_ops))(jnp.arange(n_chains))
     temps = 1.0 + 0.1 * jnp.arange(n_chains, dtype=jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(11), n_chains)
-    swap_matrix = jnp.zeros((n_chains, n_chains), jnp.int32)
+    swap_matrix = jnp.zeros((2, n_chains, n_chains), jnp.int32)
     if mesh is not None:
         from sbayes_tpu.parallel.mesh import shard_chain_batch
 
