@@ -98,7 +98,7 @@ def main(n_chains=1024):
         m_d = jax.random.bernoulli(jax.random.PRNGKey(2), dens, (n_chains, N))
         # one straggler chain with a near-full cluster (the vmap worst case)
         m_d = m_d.at[0].set(jnp.ones(N, bool))
-        for eng in ("prim", "boruvka"):
+        for eng in ("prim", "prim_mm"):
             os.environ["SBAYES_TPU_MST"] = eng
             f = jax.jit(jax.vmap(post.skeleton_triple))
             t = timeit(f, m_d)

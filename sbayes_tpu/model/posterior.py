@@ -206,14 +206,24 @@ class Posterior:
         import os
 
         eng = os.environ.get("SBAYES_TPU_MST", "auto")
-        return "prim" if eng == "auto" else eng
+        if eng != "auto":
+            return eng
+        # prim_mm re-reads the whole (N, N) cost matrix per iteration
+        # through its MXU row-select; past ~2k objects the gather form's
+        # O(B·N) per-iteration traffic wins despite TPU gather latency.
+        return "prim_mm" if self.consts.N <= 2048 else "prim"
 
     def _mst_triple(self, cost, mask):
         """(total, n_edges, max_edge) of one cluster's MST (engine-switched)."""
-        if self._mst_engine() == "boruvka":
+        eng = self._mst_engine()
+        if eng == "boruvka":
             from sbayes_tpu.ops.boruvka import cluster_mst_stats
 
             return cluster_mst_stats(cost, mask)
+        if eng == "prim_mm":
+            from sbayes_tpu.ops.mst import cluster_mst_stats_prim
+
+            return cluster_mst_stats_prim(cost, mask)
         edges, count = cluster_mst_edge_costs(cost, mask)
         return edges.sum(), count.astype(cost.dtype), edges.max()
 

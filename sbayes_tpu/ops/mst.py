@@ -64,6 +64,62 @@ def cluster_mst_edge_costs(cost, mask):
     return edges, count
 
 
+def cluster_mst_stats_prim(cost, mask):
+    """(total, count, max_edge) of the masked MST — TPU-tuned Prim.
+
+    Same early-exit masked Prim as :func:`cluster_mst_edge_costs`, with the
+    two per-iteration lowering hazards removed for the vmapped-ensemble hot
+    path (the carried geo-aggregate update in every cluster operator):
+
+    * ``cost[j]`` with a traced per-chain ``j`` lowers to a batched row
+      GATHER — on TPU a serialized scalar-core loop. Here the row is
+      selected as ``one_hot(j) @ cost``: under ``vmap`` a (B, N) x (N, N)
+      MXU matmul. The full cost matrix is re-read per iteration, so this
+      form is only a win while (N, N) is small enough to stay resident —
+      the caller gates on N (posterior._mst_triple).
+    * the (N-1,) edge array (scatter per iteration) is collapsed into the
+      three scalar accumulators the geo prior actually consumes.
+
+    Semantics match cluster_mst_edge_costs + sum/count/max exactly:
+    clusters of size <= 1 yield (0, 0, 0); unreachable members (inf cut)
+    stop contributing edges, matching the masked-scipy fallback.
+    """
+    n = cost.shape[0]
+    dtype = cost.dtype
+    iota = jnp.arange(n)
+
+    start = jnp.argmax(mask)
+    cand0 = mask & (iota != start)
+    row0 = jax.nn.one_hot(start, n, dtype=dtype) @ cost
+    d0 = jnp.where(cand0, row0, BIG)
+    m_edges = jnp.maximum(mask.sum().astype(jnp.int32) - 1, 0)
+
+    def cond_fn(carry):
+        _, _, _, _, count, i = carry
+        return (i < n - 1) & (count < m_edges)
+
+    def body(carry):
+        cand, d, total, max_e, count, i = carry
+        dm = jnp.where(cand, d, BIG)
+        w = dm.min()
+        j = dm.argmin()
+        valid = jnp.isfinite(w)
+        total = total + jnp.where(valid, w, 0.0)
+        max_e = jnp.maximum(max_e, jnp.where(valid, w, 0.0))
+        count = count + valid.astype(jnp.int32)
+        cand = cand & (iota != j) & jnp.full((n,), valid)
+        row_j = jax.nn.one_hot(j, n, dtype=dtype) @ cost
+        d = jnp.where(cand, jnp.minimum(d, row_j), d)
+        return cand, d, total, max_e, count, i + 1
+
+    z = jnp.zeros((), dtype)
+    _, _, total, max_e, count, _ = lax.while_loop(
+        cond_fn, body,
+        (cand0, d0, z, z, jnp.int32(0), jnp.int32(0)),
+    )
+    return total, count.astype(dtype), max_e
+
+
 def mst_aggregate(cost, mask, aggregation: str):
     """Aggregate MST edge costs of a cluster: 'mean' | 'sum' | 'max'.
 

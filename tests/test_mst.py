@@ -110,6 +110,53 @@ def test_boruvka_batch_vmap(rng):
         np.testing.assert_allclose(float(tot[i]), want.sum(), rtol=1e-5, atol=1e-6)
 
 
+def test_prim_mm_matches_scipy_and_prim(rng):
+    """The MXU row-select Prim (cluster_mst_stats_prim) == scipy == the
+    gather-form Prim, including size<=1 clusters and tie-heavy inputs."""
+    import jax
+
+    from sbayes_tpu.ops.mst import cluster_mst_stats_prim
+
+    for trial in range(20):
+        n = int(rng.integers(2, 40))
+        pts = rng.random((n, 2))
+        if trial % 3 == 0 and n >= 6:
+            pts[1] = pts[0]
+            pts[3] = pts[2]
+        cost = np.linalg.norm(pts[:, None] - pts[None], axis=-1).astype(np.float32)
+        mask = rng.random(n) < rng.uniform(0.1, 0.9)
+        total, count, maxe = jax.jit(cluster_mst_stats_prim)(
+            jnp.asarray(cost), jnp.asarray(mask))
+        if mask.sum() <= 1:
+            assert float(total) == 0.0 and int(count) == 0 and float(maxe) == 0.0
+            continue
+        want = shifted_scipy_mst_edges(cost.astype(float), mask)
+        assert int(count) == len(want), f"trial {trial}"
+        np.testing.assert_allclose(float(total), want.sum(), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(maxe), want.max() if len(want) else 0.0,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_prim_mm_batch_vmap(rng):
+    import jax
+
+    from sbayes_tpu.ops.mst import cluster_mst_stats_prim
+
+    n = 30
+    pts = rng.random((n, 2))
+    cost = np.linalg.norm(pts[:, None] - pts[None], axis=-1).astype(np.float32)
+    masks = rng.random((16, n)) < 0.5
+    masks[0] = False   # empty
+    masks[1] = False
+    masks[1, 7] = True  # singleton
+    f = jax.jit(jax.vmap(lambda m: cluster_mst_stats_prim(jnp.asarray(cost), m)))
+    tot, cnt, mx = f(jnp.asarray(masks))
+    for i in range(16):
+        want = shifted_scipy_mst_edges(cost.astype(float), masks[i])
+        assert int(cnt[i]) == len(want)
+        np.testing.assert_allclose(float(tot[i]), want.sum(), rtol=1e-5, atol=1e-6)
+
+
 def test_posterior_mst_engine_switch(rng, monkeypatch):
     """Posterior.skeleton_triple under SBAYES_TPU_MST=boruvka must equal the
     Prim default on random clusters (the engine is a pure backend swap)."""
@@ -133,3 +180,6 @@ def test_posterior_mst_engine_switch(rng, monkeypatch):
     monkeypatch.setenv("SBAYES_TPU_MST", "boruvka")
     bor = np.asarray(jax.jit(jax.vmap(post.skeleton_triple))(masks))
     np.testing.assert_allclose(prim, bor, rtol=1e-5, atol=1e-5)
+    monkeypatch.setenv("SBAYES_TPU_MST", "prim_mm")
+    mm = np.asarray(jax.jit(jax.vmap(post.skeleton_triple))(masks))
+    np.testing.assert_allclose(prim, mm, rtol=1e-5, atol=1e-5)
