@@ -57,6 +57,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 TINY = 1e-35
 FCP = 512  # features per kernel tile (lane dim S*FCP and FCP both %128)
+LN2 = 0.6931471805599453
+_LOG_GROUP = 8  # lanes folded into one mantissa product per log call
+
+
+def _sum_log_grouped(x):
+    """``sum(log(x), axis=1)`` with 1/_LOG_GROUP the transcendentals.
+
+    The per-lane ``log`` is the ratio tail's dominant VPU cost. Split
+    x = m * 2^e with integer ops (x must be >= the smallest NORMAL f32:
+    callers clamp to TINY), sum the unbiased exponents as integers, and
+    take logs only of grouped mantissa products: m in [1, 2), so a
+    product of 8 stays in [1, 256) — exactly representable headroom, no
+    overflow handling needed. Rounding: ~1 ulp per product step, i.e.
+    ~1e-6 relative per group — proposal-shaping only (the marginal
+    never enters the MH accept ratio; forward and backward q come from
+    the same kernel).
+
+    x: (nb, L) f32 with L % _LOG_GROUP == 0. Returns (nb, 1) f32.
+    """
+    from jax import lax as _lax
+
+    i = _lax.bitcast_convert_type(x, jnp.int32)
+    e = _lax.shift_right_logical(i, 23)              # biased exponent (x > 0)
+    m = _lax.bitcast_convert_type(
+        (i & 0x007FFFFF) | 0x3F800000, jnp.float32)  # mantissa in [1, 2)
+    L = x.shape[1]
+    g = L // _LOG_GROUP
+    prod = m[:, :g]
+    for k in range(1, _LOG_GROUP):
+        prod = prod * m[:, k * g:(k + 1) * g]
+    e_sum = jnp.sum(e, axis=1, keepdims=True) - L * 127
+    return (LN2 * e_sum.astype(jnp.float32)
+            + jnp.sum(jnp.log(prod), axis=1, keepdims=True))
 
 
 def _n_tiles(F):
@@ -129,7 +162,7 @@ def wh_layout(wh, F):
 
 def _marginal_kernel(
     *refs,
-    S, C, n_conf, ratio, heat, two_eff, idx_feats, fusedmix,
+    S, C, n_conf, ratio, heat, two_eff, idx_feats, fusedmix, grouplog,
 ):
     """Arg order (heat variants prepend invT):
 
@@ -261,13 +294,33 @@ def _marginal_kernel(
 
     incl = incl_ref[...]                            # (nb, 1)
 
-    if ratio:
+    if ratio and grouplog:
+        # log m1 - log m0 = Σ_f [log(s_cur·z_flip) - log(s_flip·z_cur)]
+        # with the per-lane divides and log replaced by two grouped-log
+        # sums (no divides, 1/_LOG_GROUP the transcendentals). NA lanes
+        # have s == z on both sides, so u and v are the bitwise-same
+        # product and cancel exactly in the difference of sums.
+        u = jnp.maximum(s_cur * z_flip, TINY)
+        v = jnp.maximum(s_flip * z_cur, TINY)
+        pm = (2.0 * incl - 1.0) * (_sum_log_grouped(u) - _sum_log_grouped(v))
+    elif ratio:
         # log(lh_cur / lh_flip) via two O(1)-magnitude quotients and ONE
         # log; the incl sign turns it into log m1 - log m0 (the sign is
         # per-object, so it distributes over the feature-tile sum).
         r = (s_cur / jnp.maximum(s_flip, TINY)) * (z_flip / jnp.maximum(z_cur, TINY))
         lr = jnp.log(jnp.maximum(r, TINY))
         pm = (2.0 * incl - 1.0) * jnp.sum(lr, axis=1, keepdims=True)  # (nb, 1)
+    elif grouplog:
+        # Absolute marginals without per-lane divides: Σ log(s/z) =
+        # Σ log s − Σ log z, and the incl mixing is per-object (0/1), so
+        # it distributes over the feature sums exactly.
+        pm_cur = (_sum_log_grouped(jnp.maximum(s_cur, TINY))
+                  - _sum_log_grouped(jnp.maximum(z_cur, TINY)))
+        pm_flip = (_sum_log_grouped(jnp.maximum(s_flip, TINY))
+                   - _sum_log_grouped(jnp.maximum(z_flip, TINY)))
+        pm1 = incl * pm_cur + (1.0 - incl) * pm_flip
+        pm0 = incl * pm_flip + (1.0 - incl) * pm_cur
+        pm = jnp.concatenate([pm0, pm1], axis=1)    # (nb, 2)
     else:
         lh_cur = s_cur / jnp.maximum(z_cur, TINY)
         lh_flip = s_flip / jnp.maximum(z_flip, TINY)
@@ -302,7 +355,8 @@ def pick_row_block(n: int, target: int = 448):
 def make_pallas_marginal(consts, interpret: bool = False,
                          ratio: bool = False, heat: bool = True,
                          two_eff: bool = False, fusedmix: bool | None = None,
-                         mm_bf16: bool | None = None):
+                         mm_bf16: bool | None = None,
+                         grouplog: bool | None = None):
     """Build the fused marginal over the pre-tiled resident feature
     layout; returns None when unavailable (no layout / bad shapes).
 
@@ -353,10 +407,16 @@ def make_pallas_marginal(consts, interpret: bool = False,
         import os
         mm_bf16 = os.environ.get("SBAYES_TPU_PALLAS_BF16MM", "1") != "0"
     mm_bf16 = mm_bf16 and fusedmix
+    if grouplog is None:
+        import os
+        # grouped-log tail (see _sum_log_grouped): default on —
+        # SBAYES_TPU_PALLAS_GROUPLOG=0 restores the per-lane log/divide
+        grouplog = os.environ.get("SBAYES_TPU_PALLAS_GROUPLOG", "1") != "0"
 
     kernel = functools.partial(_marginal_kernel, S=S, C=C, n_conf=n_conf,
                                ratio=ratio, heat=heat, two_eff=two_eff,
-                               idx_feats=idx_feats, fusedmix=fusedmix)
+                               idx_feats=idx_feats, fusedmix=fusedmix,
+                               grouplog=grouplog)
 
 
     def marginal(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT=None):

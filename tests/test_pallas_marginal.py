@@ -30,7 +30,9 @@ def setup():
         config = synthetic_config(n_clusters=2, geo_prior="uniform")
         model = Model(data, config.model)
         assert model.consts.feature_chunk == 4
-        assert model.consts.features_tl is not None, "pallas layout not built"
+        assert (model.consts.features_tl is not None
+                or model.consts.features_idx_tl is not None), \
+            "pallas layout not built"
         cond = Conditionals(Posterior(model.consts), 1.2, 1.5)
         fact = OperatorFactory(cond)
         state = generate_prior_sample(jax.random.PRNGKey(4), cond)
@@ -252,6 +254,67 @@ def test_pallas_bf16mm_close_to_f32(setup, ratio, heat, two_eff):
     # and it should be much better than the bound in practice
     gap = np.max(np.abs(np.asarray(out_b) - np.asarray(out_f)))
     assert gap < 0.1, gap
+
+
+@pytest.mark.parametrize("ratio,heat,two_eff", [
+    (True, False, False), (True, True, False), (False, False, False),
+    (False, True, False), (True, False, True),
+])
+def test_pallas_grouplog_matches_per_lane_log(setup, ratio, heat, two_eff):
+    """The grouped-log tail (_sum_log_grouped: integer exponent sums +
+    logs of 8-lane mantissa products, no per-lane divides) reproduces
+    the per-lane log/divide tail to rounding, for every kernel variant."""
+    from sbayes_tpu.model.math import normalize
+    from sbayes_tpu.ops.pallas_marginal import (
+        make_pallas_marginal, tile_layout_eff, wh_layout)
+
+    model, cond, fact, state = setup
+    c = model.consts
+    pm_g = make_pallas_marginal(c, interpret=True, ratio=ratio, heat=heat,
+                                two_eff=two_eff, grouplog=True)
+    pm_l = make_pallas_marginal(c, interpret=True, ratio=ratio, heat=heat,
+                                two_eff=two_eff, grouplog=False)
+    assert pm_g is not None and pm_l is not None
+
+    unif = jnp.asarray(c.unif_conc)
+    p_eff = normalize(
+        unif + (jnp.asarray(c.conc_cluster) - unif) / fact.Tp
+        + state.cl_counts[1] / fact.T, axis=-1)
+    p_eff2 = normalize(
+        unif + (jnp.asarray(c.conc_cluster) - unif) / fact.Tp
+        + state.cl_counts[0] / fact.T, axis=-1)
+    conf_eff = normalize(state.conf_counts + jnp.asarray(c.conc_conf), axis=-1)
+    row = tile_layout_eff(p_eff, c.F).reshape(1, -1)
+    if ratio and not two_eff:
+        p_eff_tl = row
+    else:
+        row2 = tile_layout_eff(p_eff2, c.F).reshape(1, -1)
+        p_eff_tl = jnp.concatenate([row, row2], axis=0)
+    wh_tl = wh_layout((state.weights ** (1.0 / fact.Tp)).T, c.F)
+    hc = cond.post.has_components(state.clusters).astype(jnp.float32)
+    hc_flip = hc if two_eff else hc.at[:, 0].set(1.0 - hc[:, 0])
+    incl = hc[:, 0:1]
+    invT = (1.0 / fact.T) * jnp.ones((), jnp.float32) if heat else None
+    conf_eff_tl = tile_layout_eff(conf_eff, c.F)
+
+    out_g = pm_g(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT)
+    out_l = pm_l(p_eff_tl, wh_tl, hc, hc_flip, incl, conf_eff_tl, invT)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_l),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sum_log_grouped_oracle(rng=np.random.default_rng(0)):
+    """_sum_log_grouped == sum(log(x)) on random positive rows incl.
+    extreme magnitudes down at the TINY clamp."""
+    from sbayes_tpu.ops.pallas_marginal import _sum_log_grouped
+
+    x = np.exp(rng.uniform(-60, 60, size=(16, 512))).astype(np.float32)
+    x[0, :] = 1.0
+    x[1, :7] = 1e-35
+    x[2, :3] = 3e38
+    got = np.asarray(jax.jit(_sum_log_grouped)(jnp.asarray(x)))[:, 0]
+    want = np.log(x.astype(np.float64)).sum(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-3)
 
 
 def test_pallas_idx_layout_matches_onehot(monkeypatch):
