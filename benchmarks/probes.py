@@ -69,6 +69,10 @@ def probe_chains(n_chains, chunk_steps=200, reps=2):
 
 
 def probe_branch(family: str, n_chains=256, chunk_steps=200):
+    if family == "all":
+        for fam in ("clusters", "weights", "source"):
+            probe_branch(fam, n_chains=n_chains, chunk_steps=chunk_steps)
+        return
     weights = {"clusters": 0.0, "weights": 0.0, "source": 0.0}
     weights[family] = 1.0
     rt = _runtime(operator_weights=weights)
@@ -80,7 +84,7 @@ def probe_branch(family: str, n_chains=256, chunk_steps=200):
     carry = rt.run_chunk(carry.key, carry.state, carry.stats, ones, ones, chunk_steps)
     jax.block_until_ready(carry.state)
     dt = time.perf_counter() - t0
-    print(f"{family:10s}: {dt/chunk_steps*1e3:6.2f} ms/ensemble-step "
+    print(f"{family:10s} ({n_chains} chains): {dt/chunk_steps*1e3:6.2f} ms/ensemble-step "
           f"({n_chains*chunk_steps/dt:8.0f} steps/s)", flush=True)
 
 
@@ -120,7 +124,8 @@ if __name__ == "__main__":
         for n in [int(s) for s in rest] or [64, 256, 1024, 4096]:
             probe_chains(n)
     elif mode == "branch":
-        probe_branch(rest[0] if rest else "clusters")
+        probe_branch(rest[0] if rest else "clusters",
+                     n_chains=int(rest[1]) if len(rest) > 1 else 256)
     elif mode == "bigdata":
         probe_bigdata(*[int(a) for a in rest])
     else:
