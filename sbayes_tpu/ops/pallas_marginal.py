@@ -61,35 +61,50 @@ LN2 = 0.6931471805599453
 _LOG_GROUP = 8  # lanes folded into one mantissa product per log call
 
 
-def _sum_log_grouped(x):
-    """``sum(log(x), axis=1)`` with 1/_LOG_GROUP the transcendentals.
+def _sum_log_ratio_grouped(num, den):
+    """``sum(log(num / den), axis=1)`` with 1/_LOG_GROUP the
+    transcendentals and no per-lane divides.
 
-    The per-lane ``log`` is the ratio tail's dominant VPU cost. Split
-    x = m * 2^e with integer ops (x must be >= the smallest NORMAL f32:
-    callers clamp to TINY), sum the unbiased exponents as integers, and
-    take logs only of grouped mantissa products: m in [1, 2), so a
-    product of 8 stays in [1, 256) — exactly representable headroom, no
-    overflow handling needed. Rounding: ~1 ulp per product step, i.e.
-    ~1e-6 relative per group — proposal-shaping only (the marginal
-    never enters the MH accept ratio; forward and backward q come from
-    the same kernel).
+    The per-lane ``log`` (and the divides feeding it) are the marginal
+    kernel's ratio-tail VPU cost. Split x = m * 2^e with integer ops
+    (inputs must be >= the smallest NORMAL f32: callers clamp to TINY),
+    take the per-lane exponent DIFFERENCE (exact integers), and take
+    logs only of grouped mantissa-product quotients: m in [1, 2), so a
+    product of 8 stays in [1, 256) and the quotient in (2^-8, 2^8) — no
+    overflow handling needed.
 
-    x: (nb, L) f32 with L % _LOG_GROUP == 0. Returns (nb, 1) f32.
+    The num/den pairing is load-bearing for accuracy: summing
+    ``log num`` and ``log den`` separately and subtracting would cancel
+    two O(|sum log|) totals whose f32 ulp exceeds the result (measured
+    2e-4 relative on real TPU); the per-lane exponent diff and per-group
+    mantissa quotient keep every intermediate at the magnitude of its
+    contribution (~1e-6 relative, parity-probe verified). Rounding is
+    ~1 ulp per product step — proposal-shaping only (the marginal never
+    enters the MH accept ratio; forward and backward q come from the
+    same kernel).
+
+    num, den: (nb, L) f32 > 0, L % _LOG_GROUP == 0. Returns (nb, 1) f32.
     """
     from jax import lax as _lax
 
-    i = _lax.bitcast_convert_type(x, jnp.int32)
-    e = _lax.shift_right_logical(i, 23)              # biased exponent (x > 0)
-    m = _lax.bitcast_convert_type(
-        (i & 0x007FFFFF) | 0x3F800000, jnp.float32)  # mantissa in [1, 2)
-    L = x.shape[1]
+    i_n = _lax.bitcast_convert_type(num, jnp.int32)
+    i_d = _lax.bitcast_convert_type(den, jnp.int32)
+    e = (_lax.shift_right_logical(i_n, 23)
+         - _lax.shift_right_logical(i_d, 23))        # per-lane exponent diff
+    m_n = _lax.bitcast_convert_type(
+        (i_n & 0x007FFFFF) | 0x3F800000, jnp.float32)  # mantissa in [1, 2)
+    m_d = _lax.bitcast_convert_type(
+        (i_d & 0x007FFFFF) | 0x3F800000, jnp.float32)
+    L = num.shape[1]
     g = L // _LOG_GROUP
-    prod = m[:, :g]
+    pn = m_n[:, :g]
+    pd = m_d[:, :g]
     for k in range(1, _LOG_GROUP):
-        prod = prod * m[:, k * g:(k + 1) * g]
-    e_sum = jnp.sum(e, axis=1, keepdims=True) - L * 127
+        pn = pn * m_n[:, k * g:(k + 1) * g]
+        pd = pd * m_d[:, k * g:(k + 1) * g]
+    e_sum = jnp.sum(e, axis=1, keepdims=True)
     return (LN2 * e_sum.astype(jnp.float32)
-            + jnp.sum(jnp.log(prod), axis=1, keepdims=True))
+            + jnp.sum(jnp.log(pn / pd), axis=1, keepdims=True))
 
 
 def _n_tiles(F):
@@ -295,14 +310,14 @@ def _marginal_kernel(
     incl = incl_ref[...]                            # (nb, 1)
 
     if ratio and grouplog:
-        # log m1 - log m0 = Σ_f [log(s_cur·z_flip) - log(s_flip·z_cur)]
-        # with the per-lane divides and log replaced by two grouped-log
-        # sums (no divides, 1/_LOG_GROUP the transcendentals). NA lanes
-        # have s == z on both sides, so u and v are the bitwise-same
-        # product and cancel exactly in the difference of sums.
+        # log m1 - log m0 = Σ_f log[(s_cur·z_flip) / (s_flip·z_cur)]
+        # with the per-lane divides and log replaced by the grouped
+        # log-ratio (no divides, 1/_LOG_GROUP the transcendentals). NA
+        # lanes have s == z on both sides, so num and den are the
+        # bitwise-same product and cancel exactly.
         u = jnp.maximum(s_cur * z_flip, TINY)
         v = jnp.maximum(s_flip * z_cur, TINY)
-        pm = (2.0 * incl - 1.0) * (_sum_log_grouped(u) - _sum_log_grouped(v))
+        pm = (2.0 * incl - 1.0) * _sum_log_ratio_grouped(u, v)
     elif ratio:
         # log(lh_cur / lh_flip) via two O(1)-magnitude quotients and ONE
         # log; the incl sign turns it into log m1 - log m0 (the sign is
@@ -311,13 +326,13 @@ def _marginal_kernel(
         lr = jnp.log(jnp.maximum(r, TINY))
         pm = (2.0 * incl - 1.0) * jnp.sum(lr, axis=1, keepdims=True)  # (nb, 1)
     elif grouplog:
-        # Absolute marginals without per-lane divides: Σ log(s/z) =
-        # Σ log s − Σ log z, and the incl mixing is per-object (0/1), so
-        # it distributes over the feature sums exactly.
-        pm_cur = (_sum_log_grouped(jnp.maximum(s_cur, TINY))
-                  - _sum_log_grouped(jnp.maximum(z_cur, TINY)))
-        pm_flip = (_sum_log_grouped(jnp.maximum(s_flip, TINY))
-                   - _sum_log_grouped(jnp.maximum(z_flip, TINY)))
+        # Absolute marginals via the grouped log-ratio: Σ log(s/z) with
+        # num/den paired per lane (no large-sum cancellation), and the
+        # per-object 0/1 incl mix distributed over the feature sums.
+        pm_cur = _sum_log_ratio_grouped(jnp.maximum(s_cur, TINY),
+                                        jnp.maximum(z_cur, TINY))
+        pm_flip = _sum_log_ratio_grouped(jnp.maximum(s_flip, TINY),
+                                         jnp.maximum(z_flip, TINY))
         pm1 = incl * pm_cur + (1.0 - incl) * pm_flip
         pm0 = incl * pm_flip + (1.0 - incl) * pm_cur
         pm = jnp.concatenate([pm0, pm1], axis=1)    # (nb, 2)

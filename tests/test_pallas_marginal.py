@@ -303,18 +303,23 @@ def test_pallas_grouplog_matches_per_lane_log(setup, ratio, heat, two_eff):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_sum_log_grouped_oracle(rng=np.random.default_rng(0)):
-    """_sum_log_grouped == sum(log(x)) on random positive rows incl.
-    extreme magnitudes down at the TINY clamp."""
-    from sbayes_tpu.ops.pallas_marginal import _sum_log_grouped
+def test_sum_log_ratio_grouped_oracle(rng=np.random.default_rng(0)):
+    """_sum_log_ratio_grouped == sum(log(num/den)) on random positive
+    rows incl. extreme magnitudes down at the TINY clamp, and exact
+    cancellation when num == den bitwise."""
+    from sbayes_tpu.ops.pallas_marginal import _sum_log_ratio_grouped
 
-    x = np.exp(rng.uniform(-60, 60, size=(16, 512))).astype(np.float32)
-    x[0, :] = 1.0
-    x[1, :7] = 1e-35
-    x[2, :3] = 3e38
-    got = np.asarray(jax.jit(_sum_log_grouped)(jnp.asarray(x)))[:, 0]
-    want = np.log(x.astype(np.float64)).sum(axis=1)
+    num = np.exp(rng.uniform(-60, 60, size=(16, 512))).astype(np.float32)
+    den = np.exp(rng.uniform(-60, 60, size=(16, 512))).astype(np.float32)
+    num[1, :7] = 1e-35
+    den[2, :3] = 3e38
+    den[3] = num[3]  # identical rows -> exactly 0
+    got = np.asarray(jax.jit(_sum_log_ratio_grouped)(
+        jnp.asarray(num), jnp.asarray(den)))[:, 0]
+    want = (np.log(num.astype(np.float64))
+            - np.log(den.astype(np.float64))).sum(axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-3)
+    assert got[3] == 0.0
 
 
 def test_pallas_idx_layout_matches_onehot(monkeypatch):
