@@ -424,9 +424,14 @@ def make_pallas_marginal(consts, interpret: bool = False,
     mm_bf16 = mm_bf16 and fusedmix
     if grouplog is None:
         import os
-        # grouped-log tail (see _sum_log_grouped): default on —
-        # SBAYES_TPU_PALLAS_GROUPLOG=0 restores the per-lane log/divide
-        grouplog = os.environ.get("SBAYES_TPU_PALLAS_GROUPLOG", "1") != "0"
+        # Grouped-log tail (see _sum_log_ratio_grouped): default OFF by
+        # measurement — on real TPU the Mosaic lowering of the integer
+        # exponent/mantissa ops costs slightly MORE than the saved
+        # transcendentals (interleaved 10k x 5k shoot-out: 29.4 vs 28.4
+        # ms, benchmarks/grouplog_probe.py) and it widens the strict
+        # parity gap vs the XLA path (2e-4 vs 4e-7 relative). Kept as a
+        # tested variant; SBAYES_TPU_PALLAS_GROUPLOG=1 opts in.
+        grouplog = os.environ.get("SBAYES_TPU_PALLAS_GROUPLOG", "0") == "1"
 
     kernel = functools.partial(_marginal_kernel, S=S, C=C, n_conf=n_conf,
                                ratio=ratio, heat=heat, two_eff=two_eff,
