@@ -143,8 +143,14 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
             ll = old_state.log_lh
             d_ll = jnp.zeros((), jnp.float32)
             wp = post.weights_prior(cand.weights)
-            sp = post.source_prior(cand.clusters, cand.weights, cand.source)
-            pp = old_state.prior_parts.at[PRIOR_WEIGHTS].set(wp).at[PRIOR_SOURCE].set(sp)
+            # gibbs_sample_weights prices the source prior of BOTH weight
+            # vectors from the carried pattern counts and hands the exact
+            # accepted-feature delta over (source_prior_delta) — the
+            # candidate_source_prior fallback's full (N,F,C) stream runs
+            # only for delta-less weight ops (AlterWeights, not scheduled).
+            pp = (old_state.prior_parts
+                  .at[PRIOR_WEIGHTS].set(wp)
+                  .at[PRIOR_SOURCE].set(candidate_source_prior()))
         else:
             raise ValueError(f"Unknown operator change group {spec.changes}")
 

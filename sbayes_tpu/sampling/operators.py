@@ -1624,11 +1624,18 @@ class OperatorFactory:
             weights_final = jnp.where(accept[:, None], w_new, w)
 
             state_new = state._replace(weights=weights_final)
+            # ll_by_feature from the pattern counts IS the per-feature
+            # source prior of the weights (same collapsed quantity the
+            # kernel's full (N,F,C) recompute streams): hand the exact
+            # accepted-feature delta over so the kernel's weights branch
+            # touches nothing N-sized.
+            sp_delta = jnp.where(accept, ll_new - ll_old, 0.0).sum()
             return OpResult(
                 state_new,
                 jnp.asarray(Q_GIBBS, jnp.float32),
                 jnp.asarray(Q_BACK_GIBBS, jnp.float32),
                 accept.mean().astype(jnp.float32),
+                source_prior_delta=sp_delta,
             )
 
         return op
