@@ -24,6 +24,66 @@ def normalize(x, axis=-1):
     return x / jnp.sum(x, axis=axis, keepdims=True)
 
 
+# Row gather/scatter on the per-chain (N, F, C) source tensor.
+#
+# Under vmap, ``src[idx]`` / ``src.at[idx].set(rows)`` with per-chain
+# indices lower to batched TPU gathers/scatters — serialized scalar-core
+# loops (the same pathology the prim_mm MST engine fixes for cost-matrix
+# rows). For small tensors the one-hot MXU matmul form wins (measured
+# 1.6-1.7x standalone, far more in-scan: benchmarks/rows_gather_probe.py);
+# for large tensors the matmul re-reads all N rows, so the native
+# gather/in-place scatter stays. The cutover is by total source bytes.
+# Preconditions of the matmul forms: indices are DISTINCT (every caller
+# draws without replacement / top_k / a single object) and index == N
+# means "padded, drop" (the one-hot row is all zero).
+
+_ROWS_MM_MAX_BYTES = 32 * 1024 * 1024  # per-chain bool (N, F, C) size
+
+
+def _rows_mm(n, f, c):
+    import os
+
+    env = os.environ.get("SBAYES_TPU_ROWS_MM")
+    if env is not None:
+        return env == "1"
+    return n * f * c <= _ROWS_MM_MAX_BYTES
+
+
+def gather_rows(src, idx):
+    """``src[idx]`` for bool src (N, F, C), idx (m,) int (N = padded).
+
+    Engine-switched: one-hot MXU matmul at small sizes (exact: 0/1
+    operands, <=1 nonzero per one-hot row, f32 accumulate), native
+    gather (mode='fill') at large."""
+    n, f, c = src.shape
+    if not _rows_mm(n, f, c):
+        return src.at[idx].get(mode="fill", fill_value=False)
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)              # (m, N)
+    flat = src.reshape(n, f * c).astype(jnp.bfloat16)
+    out = jnp.dot(oh, flat, preferred_element_type=jnp.float32)
+    return (out > 0.5).reshape(idx.shape[0], f, c)
+
+
+def scatter_rows(src, idx, rows):
+    """``src.at[idx].set(rows, mode='drop')`` for bool src (N, F, C),
+    DISTINCT idx (m,) int (N = padded/drop), rows (m, F, C) bool.
+
+    One-hot MXU matmul-add at small sizes (subtract the gathered old
+    rows, add the new: exact integer arithmetic in f32), native in-place
+    scatter at large."""
+    n, f, c = src.shape
+    if not _rows_mm(n, f, c):
+        return src.at[idx].set(rows, mode="drop")
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)              # (m, N)
+    flat = src.reshape(n, f * c)
+    old = jnp.dot(oh, flat.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)            # (m, F*C)
+    delta = rows.reshape(idx.shape[0], f * c).astype(jnp.float32) - old
+    upd = jnp.dot(oh.T.astype(jnp.float32), delta,
+                  preferred_element_type=jnp.float32)            # (N, F*C)
+    return ((flat.astype(jnp.float32) + upd) > 0.5).reshape(src.shape)
+
+
 def dirichlet_categorical_logpdf(counts, a):
     """Collapsed (marginalized) categorical log-likelihood per feature.
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from sbayes_tpu.model.constants import ModelConstants
 from sbayes_tpu.model.math import (
     conditional_effect_mean,
+    gather_rows,
     normalize,
     normalize_weights,
     sample_categorical_onehot,
@@ -485,7 +486,7 @@ class Conditionals:
         # then f32-tight).
         feats_m = jnp.asarray(c.features)[obj_idx].astype(jnp.float32)  # (m, F, S)
         na_m = jnp.asarray(c.na)[obj_idx]                # (m, F)
-        src_rows_old = state_old.source[obj_idx]         # (m, F, C)
+        src_rows_old = gather_rows(state_old.source, obj_idx)  # (m, F, C)
 
         hc_conf_m = jnp.asarray(c.hc_conf)[obj_idx]      # (m, C-1)
         hc0_new = jnp.any(clusters_new[:, obj_idx], axis=0)

@@ -212,12 +212,16 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
                 # mode= pins the out-of-bounds semantics the scheme relies
                 # on (gathered values at idx==N are dead; writes dropped)
                 # rather than leaning on JAX's defaults.
+                # gather/scatter ride the MXU one-hot form at small sizes
+                # (vmapped TPU gathers serialize; math.gather_rows) and
+                # the native in-place forms at scale.
+                from sbayes_tpu.model.math import gather_rows, scatter_rows
+
                 idx, rows_new = res.source_rows
                 rows_final = jnp.where(
-                    accept, rows_new,
-                    state.source.at[idx].get(mode="fill", fill_value=False))
+                    accept, rows_new, gather_rows(state.source, idx))
                 new_state = new_state._replace(
-                    source=state.source.at[idx].set(rows_final, mode="drop"))
+                    source=scatter_rows(state.source, idx, rows_final))
             return new_state, accept, res.step_size, nf
 
         return branch

@@ -27,6 +27,7 @@ from jax.scipy.special import betaln
 from sbayes_tpu.model.math import (
     conditional_effect_mean,
     dirichlet_categorical_delta,
+    gather_rows,
     normalize,
     normalize_weights,
     sample_categorical_onehot,
@@ -623,15 +624,16 @@ class OperatorFactory:
             rs = cond.gibbs_resample_source_rows(
                 k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
                 i_cluster, counts)
+            src_obj = gather_rows(state.source, obj[None])   # (1, F, C)
             cl_new, conf_new, ll_d = self._delta_counts(
                 counts, obj, state.clusters, clusters_new,
-                state.source[obj], rs.new_rows[0])
+                src_obj[0], rs.new_rows[0])
             counts_new = (cl_new, conf_new)
             pat_new = self._delta_pat(
                 state.pat_counts, obj[None], jnp.ones(1, bool),
                 jnp.any(state.clusters[:, obj], axis=0)[None],
                 jnp.any(clusters_new[:, obj], axis=0)[None],
-                state.source[obj][None], rs.new_rows)
+                src_obj, rs.new_rows)
             # source stays the OLD buffer: the row write is deferred to the
             # MH kernel via OpResult.source_rows (rs.new_rows).
             state_new = self._put_counts(
@@ -902,14 +904,15 @@ class OperatorFactory:
             rs = cond.gibbs_resample_source_rows(
                 k_src, state, clusters_new, obj_idx, valid, i_cluster, counts)
             feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
+            src_rows_old = gather_rows(state.source, obj_idx)
             counts_new = cond.delta_counts_rows_move(
                 counts, state.clusters, clusters_new, obj_idx, valid,
-                state.source[obj_idx], rs.new_rows, feats_m)
+                src_rows_old, rs.new_rows, feats_m)
             pat_new = self._delta_pat(
                 state.pat_counts, obj_idx, valid,
                 jnp.any(state.clusters[:, obj_idx], axis=0),
                 jnp.any(clusters_new[:, obj_idx], axis=0),
-                state.source[obj_idx], rs.new_rows)
+                src_rows_old, rs.new_rows)
             # source stays the OLD buffer: row write deferred to the MH
             # kernel (OpResult.source_rows). The backward cluster_probs
             # below reads only counts/weights/clusters — never source.
@@ -1176,15 +1179,16 @@ class OperatorFactory:
                 k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
                 i_cluster_new=i_tgt, i_cluster_old=i_src,
                 counts=(cl_counts, conf_counts))
+            src_obj = gather_rows(state.source, obj[None])   # (1, F, C)
             cl_counts2, conf_counts2, ll_d = self._delta_counts(
                 (cl_counts, conf_counts), obj, state.clusters, clusters_new,
-                state.source[obj], rs.new_rows[0],
+                src_obj[0], rs.new_rows[0],
             )
             pat_new = self._delta_pat(
                 state.pat_counts, obj[None], jnp.ones(1, bool),
                 jnp.any(state.clusters[:, obj], axis=0)[None],
                 jnp.any(clusters_new[:, obj], axis=0)[None],
-                state.source[obj][None], rs.new_rows)
+                src_obj, rs.new_rows)
             # source stays the OLD buffer (row write deferred to the MH
             # kernel); the backward jump_lh reads only counts/weights/hc.
             state_new = self._put_counts(
@@ -1279,7 +1283,7 @@ class OperatorFactory:
             # f32 gathered rows: see Conditionals._resample_engine_rows
             feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
             na_m = na[obj_idx]
-            old_rows = state.source[obj_idx]
+            old_rows = gather_rows(state.source, obj_idx)
             hc_conf_m = jnp.asarray(consts.hc_conf)[obj_idx]
             hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)
             hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
@@ -1345,7 +1349,7 @@ class OperatorFactory:
             obj_idx, valid = select_subset_idx(k_sel, state)
             feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
             na_m = na[obj_idx]                                  # (m, F)
-            old_rows = state.source[obj_idx]                    # (m, F, C)
+            old_rows = gather_rows(state.source, obj_idx)       # (m, F, C)
             hc_conf_m = jnp.asarray(consts.hc_conf)[obj_idx]    # (m, C-1)
             hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)   # (m,)
             hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)

@@ -156,3 +156,40 @@ def test_dirichlet_categorical_delta_matches_full_difference(rng):
         jnp.asarray(counts, jnp.float32), jnp.asarray(a, jnp.float32),
         jnp.asarray(d, jnp.float32)).sum()
     np.testing.assert_allclose(float(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_gather_scatter_rows_engines(monkeypatch):
+    """gather_rows/scatter_rows: the one-hot MXU form and the native
+    gather/scatter agree with direct indexing, incl. the padded index N
+    (gather -> all-False row; scatter -> dropped) and vmap batching."""
+    import jax
+
+    from sbayes_tpu.model import math as m
+
+    rng = np.random.default_rng(3)
+    B, N, F, C, mm = 4, 23, 7, 3, 5
+    src = rng.random((B, N, F, C)) < 0.4
+    idx = np.stack([rng.choice(N, size=mm, replace=False) for _ in range(B)])
+    idx[0, -1] = N  # padded
+    idx[2, 0] = N
+    rows = rng.random((B, mm, F, C)) < 0.4
+
+    want_g = np.zeros((B, mm, F, C), bool)
+    want_s = src.copy()
+    for b in range(B):
+        for j in range(mm):
+            if idx[b, j] < N:
+                want_g[b, j] = src[b, idx[b, j]]
+                want_s[b, idx[b, j]] = rows[b, j]
+
+    for eng in ("1", "0"):
+        monkeypatch.setenv("SBAYES_TPU_ROWS_MM", eng)
+        g = jax.jit(jax.vmap(m.gather_rows))(jnp.asarray(src), jnp.asarray(idx))
+        s = jax.jit(jax.vmap(m.scatter_rows))(
+            jnp.asarray(src), jnp.asarray(idx), jnp.asarray(rows))
+        if eng == "1":
+            np.testing.assert_array_equal(np.asarray(g), want_g)
+        else:
+            # native gather fills padded rows with False too (mode='fill')
+            np.testing.assert_array_equal(np.asarray(g), want_g)
+        np.testing.assert_array_equal(np.asarray(s), want_s)
