@@ -1367,7 +1367,7 @@ class OperatorFactory:
             keys_m = jax.random.split(k_draw, k_cap)
 
             def body(carry, j):
-                cl_counts, conf_counts, rows = carry
+                cl_counts, conf_counts, rows, d_acc = carry
                 f_o = feats_m[j]                                # (F, S)
                 row_old = rows[j].astype(jnp.float32)           # (F, C)
                 v = valid[j].astype(jnp.float32)
@@ -1397,16 +1397,42 @@ class OperatorFactory:
                 new_row = jnp.where(valid[j], new_row, rows[j])
                 nr = new_row.astype(jnp.float32)
 
+                # Exact collapsed-likelihood delta of this sub-step, free
+                # from the predictive values already in hand: moving one
+                # object's source at feature f from component c_old to
+                # c_new (all else fixed) changes the collapsed Dirichlet-
+                # categorical log-lh by exactly
+                #   log pred(x_f | c_new, leave-j-out counts)
+                #   - log pred(x_f | c_old, leave-j-out counts)
+                # (the lgamma telescoping collapses: lgamma(x+1)-lgamma(x)
+                # = log x on both the cell and the total). ``lh`` IS that
+                # leave-j-out predictive (UNheated, before the 1/T power),
+                # so the delta costs two row-selects and a log — the MH
+                # kernel then carries log_lh without any lgamma pass for
+                # this branch. Unchanged features select identical floats
+                # and cancel bitwise.
+                sel_new = (lh * nr).sum(-1)                     # (F,)
+                sel_old = (lh * row_old).sum(-1)
+                ok = (~na_m[j]) & valid[j]
+                d_j = jnp.where(
+                    ok,
+                    jnp.log(jnp.maximum(sel_new, 1e-35))
+                    - jnp.log(jnp.maximum(sel_old, 1e-35)),
+                    0.0,
+                ).sum()
+
                 d0 = f_o * (nr[:, 0:1] - row_old[:, 0:1]) * in_cl
                 cl_counts = cl_counts.at[ko].add(d0)
                 for c in range(n_conf):
                     dc = f_o * (nr[:, 1 + c:2 + c] - row_old[:, 1 + c:2 + c]) * in_gs[c]
                     conf_counts = conf_counts.at[c, gcs[c]].add(dc)
                 rows = rows.at[j].set(new_row)
-                return (cl_counts, conf_counts, rows), None
+                return (cl_counts, conf_counts, rows, d_acc + d_j), None
 
-            (cl_new, conf_new, new_rows), _ = lax.scan(
-                body, (counts_old[0], counts_old[1], old_rows), jnp.arange(k_cap))
+            (cl_new, conf_new, new_rows, ll_delta), _ = lax.scan(
+                body,
+                (counts_old[0], counts_old[1], old_rows, jnp.zeros((), jnp.float32)),
+                jnp.arange(k_cap))
             pat_new = self._delta_pat(state.pat_counts, obj_idx, valid,
                                       hc0, hc0, old_rows, new_rows)
             # source row write deferred to the MH kernel (source_rows).
@@ -1419,7 +1445,7 @@ class OperatorFactory:
             )
             step_size = ((new_rows ^ old_rows) & valid[:, None, None]).sum().astype(jnp.float32)
             return OpResult(state_new, Q_GIBBS, Q_BACK_GIBBS, step_size,
-                            source_prior_delta=sp_delta,
+                            source_prior_delta=sp_delta, ll_delta=ll_delta,
                             source_rows=(obj_idx, new_rows))
 
         def op_fused(key, state):

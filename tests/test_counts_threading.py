@@ -118,3 +118,44 @@ def test_ll_delta_matches_full_recompute(setup):
             )
             checked += 1
     assert checked >= 5, f"only {checked} informative proposals — vacuous"
+
+
+def test_sweep_ll_delta_matches_full_recompute(monkeypatch):
+    """The source sweep's free ll_delta (predictive-ratio telescoping in
+    the scan body) must equal log_likelihood_from_counts(new) - (old): the
+    MH kernel carries log_lh through forced-accept sweeps without any
+    lgamma pass, so an error here silently corrupts every later MH ratio
+    and the MC3 swap criterion."""
+    monkeypatch.setenv("SBAYES_TPU_SOURCE_SWEEP", "1")
+    from sbayes_tpu.model.model import Model
+    from sbayes_tpu.model.posterior import Posterior
+    from sbayes_tpu.sampling.conditionals import Conditionals
+    from sbayes_tpu.sampling.operators import get_operator_schedule
+    from sbayes_tpu.sampling.prior_sampling import generate_prior_sample
+    from sbayes_tpu.testing import synthetic_config, synthetic_data
+
+    data = synthetic_data(n_objects=24, n_features=6, n_states=4,
+                          n_families=2, seed=7)
+    config = synthetic_config(n_clusters=2, geo_prior="uniform")
+    model = Model(data, config.model)
+    cond = Conditionals(Posterior(model.consts), 1.0, 1.0)
+    ops = get_operator_schedule(cond, config.mcmc.operators)
+    sweeps = [s for s in ops if s.changes == "source" and s.forced_accept]
+    assert sweeps, "SBAYES_TPU_SOURCE_SWEEP=1 must schedule the sweep ops"
+    state = jax.jit(lambda k: generate_prior_sample(k, cond))(jax.random.PRNGKey(8))
+    state = jax.jit(cond.post.fill_state)(state)
+    ll_old = float(jax.jit(cond.post.log_likelihood_from_counts)(
+        state.cl_counts, state.conf_counts))
+    checked = 0
+    for spec in sweeps:
+        for seed in range(5):
+            res = jax.jit(spec.fn)(jax.random.PRNGKey(900 + seed), state)
+            assert res.ll_delta is not None, f"{spec.name}: sweep lost ll_delta"
+            ll_new = float(jax.jit(cond.post.log_likelihood_from_counts)(
+                res.state.cl_counts, res.state.conf_counts))
+            np.testing.assert_allclose(
+                float(res.ll_delta), ll_new - ll_old, rtol=2e-4, atol=2e-3,
+                err_msg=f"{spec.name} seed {seed}")
+            if abs(ll_new - ll_old) > 1e-6:
+                checked += 1
+    assert checked >= 5, f"only {checked} informative sweeps — vacuous"
