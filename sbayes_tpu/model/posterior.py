@@ -95,6 +95,44 @@ class Posterior:
             conf_counts, jnp.asarray(c.conc_conf))                  # (C-1, G, F)
         return lh_cl, lh_conf
 
+    def log_likelihood_diff_from_counts(self, counts_new, counts_old):
+        """Exact ``log_likelihood_from_counts(new) - (old)``, lane-packed.
+
+        Same telescoping exactness as differencing two
+        ``log_likelihood_per_feature`` evaluations — the gammaln argument
+        stacks are built identically for both states, so unchanged count
+        cells produce bitwise-identical terms whose elementwise difference
+        is exactly 0 — but ~4x faster on TPU: the per-feature form keeps
+        the S(=n_states) axis minor, and S is typically far below the
+        128-lane VPU tile, so every gammaln pays a ~128/S padding tax.
+        Here every gammaln argument (count cells of both tensors AND the
+        per-(group, feature) totals) is flattened into ONE dense (X,)
+        stack per state, evaluated lane-packed, subtracted, and reduced
+        with a static sign vector (+1 cells, −1 totals; the gammaln(a) /
+        gammaln(sum_a) constants cancel in the difference and are never
+        computed)."""
+        c = self.consts
+        cl_new, conf_new = counts_new
+        cl_old, conf_old = counts_old
+        a_cl = jnp.asarray(c.conc_cluster)[None]          # (1, F, S)
+        a_conf = jnp.asarray(c.conc_conf)                  # (C-1, G, F, S)
+
+        def stack(cl, conf):
+            cells_cl = jnp.where(a_cl > 0, cl + a_cl, 1.0)
+            cells_conf = jnp.where(a_conf > 0, conf + a_conf, 1.0)
+            tot_cl = cl.sum(-1) + a_cl.sum(-1)             # (K, F)
+            tot_conf = conf.sum(-1) + a_conf.sum(-1)       # (C-1, G, F)
+            return jnp.concatenate([
+                cells_cl.reshape(-1), cells_conf.reshape(-1),
+                tot_cl.reshape(-1), tot_conf.reshape(-1)])
+
+        n_cells = cl_new.size + conf_new.size
+        n_tot = cl_new.size // cl_new.shape[-1] + conf_new.size // conf_new.shape[-1]
+        sign = jnp.concatenate([jnp.ones(n_cells, jnp.float32),
+                                jnp.full((n_tot,), -1.0, jnp.float32)])
+        d = gammaln(stack(cl_new, conf_new)) - gammaln(stack(cl_old, conf_old))
+        return jnp.dot(sign, d, preferred_element_type=jnp.float32)
+
     def log_likelihood(self, state):
         if self._pallas_loglh is not None:
             return self._pallas_loglh(state.clusters[None], state.source[None])[0]

@@ -106,10 +106,8 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
                 return old_state.log_lh + ll_delta, ll_delta
             if (counts is not None and old_state.cl_counts is not None
                     and not getattr(spec, "forced_accept", False)):
-                ncl, nconf = post.log_likelihood_per_feature(*counts)
-                ocl, oconf = post.log_likelihood_per_feature(
-                    old_state.cl_counts, old_state.conf_counts)
-                d = (ncl - ocl).sum() + (nconf - oconf).sum()
+                d = post.log_likelihood_diff_from_counts(
+                    counts, (old_state.cl_counts, old_state.conf_counts))
                 return old_state.log_lh + d, d
             if counts is not None:
                 ll = post.log_likelihood_from_counts(*counts)

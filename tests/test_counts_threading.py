@@ -159,3 +159,25 @@ def test_sweep_ll_delta_matches_full_recompute(monkeypatch):
             if abs(ll_new - ll_old) > 1e-6:
                 checked += 1
     assert checked >= 5, f"only {checked} informative sweeps — vacuous"
+
+
+def test_ll_diff_lane_packed_matches_per_feature(setup):
+    """The lane-packed gammaln-stack diff (kernel's generic d_ll) must
+    match the per-feature two-pass difference to f32 noise, and be exactly
+    0.0 for identical counts (bitwise cancellation)."""
+    cond, ops, state = setup
+    post = cond.post
+    counts_old = (state.cl_counts, state.conf_counts)
+    z = jax.jit(post.log_likelihood_diff_from_counts)(counts_old, counts_old)
+    assert float(z) == 0.0
+    for seed in range(6):
+        k = jax.random.PRNGKey(40 + seed)
+        d_cl = jax.random.randint(k, state.cl_counts.shape, 0, 2).astype(np.float32)
+        d_cl = d_cl * (np.asarray(state.cl_counts) > 0)  # keep counts valid-ish
+        counts_new = (state.cl_counts + d_cl, state.conf_counts)
+        ref = float(
+            jax.jit(post.log_likelihood_from_counts)(*counts_new)
+            - jax.jit(post.log_likelihood_from_counts)(*counts_old))
+        got = float(jax.jit(post.log_likelihood_diff_from_counts)(
+            counts_new, counts_old))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
