@@ -162,7 +162,7 @@ def main(B=1024):
 
     # simpler: re-create the body functions directly
     def per_chain(fixed_sel=False, back=True, delta=True, sp=True,
-                  pat=True, minimal=False):
+                  pat=True, minimal=False, qback=True, outs=True):
         vf = make_variant(fixed_sel=fixed_sel, back=back, delta=delta,
                           sp=sp, pat=pat, minimal=minimal)
         del vf
@@ -187,7 +187,9 @@ def main(B=1024):
             new_rows = jnp.where(valid[:, None, None], x, old_rows)
             log_q = cond._rows_logp(p, new_rows, valid, na_m)
             if minimal:
-                return (log_q,)
+                # keep old_rows + hc gathers live so dynamic const gathers
+                # are not dead-code-eliminated
+                return (log_q, old_rows.sum(), hc_m.sum())
             if delta:
                 counts_new = cond.delta_counts_rows(
                     counts_old, state.clusters, obj_idx, valid,
@@ -205,26 +207,29 @@ def main(B=1024):
                     feats_m, na_m)
             else:
                 p_back = p
-            log_q_back = cond._rows_logp(p_back, old_rows, valid, na_m)
+            if qback:
+                log_q_back = cond._rows_logp(p_back, old_rows, valid, na_m)
+            else:
+                log_q_back = log_q + p_back.sum() * 0.0
             if sp:
                 sp_delta = (
                     cond.source_prior_rows_logp(state.weights, hc_m, new_rows, valid, na_m)
                     - cond.source_prior_rows_logp(state.weights, hc_m, old_rows, valid, na_m))
             else:
                 sp_delta = jnp.zeros(())
+            if not outs:
+                return (log_q, log_q_back, sp_delta)
             return (log_q, log_q_back, sp_delta,
                     counts_new[0].sum() * 1e-6, counts_new[1].sum() * 1e-6,
                     (jnp.zeros(()) if pat_new is None else pat_new.sum() * 1e-6))
         return op
 
     def d_ll_extra(states2, ks):
-        # the kernel's generic 2x per-feature lgamma diff
+        # the kernel's generic d_ll: lane-packed gammaln-stack diff
         def f(state):
-            a = cond.post.log_likelihood_per_feature(state.cl_counts,
-                                                     state.conf_counts)
-            b = cond.post.log_likelihood_per_feature(state.cl_counts + 1.0,
-                                                     state.conf_counts + 1.0)
-            return (b[0] - a[0]).sum() + (b[1] - a[1]).sum()
+            return cond.post.log_likelihood_diff_from_counts(
+                (state.cl_counts + 1.0, state.conf_counts + 1.0),
+                (state.cl_counts, state.conf_counts))
         return jax.vmap(f)(states2).sum()
 
     def scatter_extra(states2, ks):
@@ -324,10 +329,13 @@ def main(B=1024):
         ("s_no_back", per_chain(back=False), None),
         ("s_no_delta", per_chain(delta=False), None),
         ("s_min", per_chain(minimal=True), None),
+        ("s_min_fixed", per_chain(minimal=True, fixed_sel=True), None),
+        ("s_no_qback", per_chain(qback=False), None),
+        ("s_no_outs", per_chain(outs=False), None),
+        ("s_no_sp", per_chain(sp=False), None),
+        ("s_no_pat", per_chain(pat=False), None),
         ("s_full+dll", per_chain(), d_ll_extra),
         ("s_full+scat", per_chain(), scatter_extra),
-        ("s_onehot", op_onehot, None),
-        ("s_onehot+dll", op_onehot, d_ll_extra),
     ]
     for name, opf, ex in scan_variants:
         fn = scanned(opf, extra=ex)
