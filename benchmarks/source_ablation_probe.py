@@ -323,6 +323,122 @@ def main(B=1024):
                 counts_new[0].sum() * 1e-6, counts_new[1].sum() * 1e-6,
                 (jnp.zeros(()) if pat_new is None else pat_new.sum() * 1e-6))
 
+    # ---- alternative formulations (in-scan) ------------------------------
+    conc_cl_c = jnp.asarray(consts.conc_cluster)          # (F, S)
+    conc_conf_c = jnp.asarray(consts.conc_conf)           # (C-1, G, F, S)
+    K = consts.K
+
+    def per_chain2(sel="rand", mm_delta=False, stacked_back=False,
+                   twostep_post=False):
+        """Full op with alternative formulations:
+        sel: 'rand' (choice w/o replacement) | 'fixed' (arange) |
+             'sorted' (choice then sort)
+        mm_delta: delta counts as flattened (rows x m)@(m x F*S) matmuls
+        stacked_back: fwd+bwd effect tables built in ONE stacked einsum
+        twostep_post: posterior einsums as (m x K)@(K x F*S) matmul then
+             VPU reduce against feats (instead of 3-operand einsums)
+        """
+        def post_rows(cl_m, g_m, counts, feats_m, na_m, hc_m, weights):
+            cl_counts, conf_counts = counts
+            cl_eff = normalize(cl_counts + conc_cl_c[None], axis=-1)
+            conf_eff = normalize(conf_counts + conc_conf_c, axis=-1)
+            if twostep_post:
+                E0 = jnp.dot(cl_m.T, cl_eff.reshape(K, -1),
+                             preferred_element_type=jnp.float32)
+                lh0 = (E0.reshape(m, F, S) * feats_m).sum(-1)
+                lhc_list = []
+                for c_i in range(n_conf):
+                    Ec = jnp.dot(g_m[c_i].T, conf_eff[c_i].reshape(G, -1),
+                                 preferred_element_type=jnp.float32)
+                    lhc_list.append((Ec.reshape(m, F, S) * feats_m).sum(-1))
+                lhc = jnp.stack(lhc_list, axis=-1)
+            else:
+                lh0 = jnp.einsum("km,kfs,mfs->mf", cl_m, cl_eff, feats_m,
+                                 preferred_element_type=jnp.float32)
+                lhc = jnp.einsum("cgm,cgfs,mfs->mfc", g_m, conf_eff, feats_m,
+                                 preferred_element_type=jnp.float32)
+            lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
+            lh = jnp.where(na_m[:, :, None], 1.0, lh)
+            w = normalize_weights(weights, hc_m)
+            return normalize(lh * w, axis=-1), w
+
+        def post_rows_both(cl_m, g_m, counts_a, counts_b, feats_m, na_m, w):
+            cl_b = jnp.stack([counts_a[0], counts_b[0]])          # (2,K,F,S)
+            conf_b = jnp.stack([counts_a[1], counts_b[1]])        # (2,C-1,G,F,S)
+            cl_eff = normalize(cl_b + conc_cl_c[None, None], axis=-1)
+            conf_eff = normalize(conf_b + conc_conf_c[None], axis=-1)
+            lh0 = jnp.einsum("km,bkfs,mfs->bmf", cl_m, cl_eff, feats_m,
+                             preferred_element_type=jnp.float32)
+            lhc = jnp.einsum("cgm,bcgfs,mfs->bmfc", g_m, conf_eff, feats_m,
+                             preferred_element_type=jnp.float32)
+            lh = jnp.concatenate([lh0[..., None], lhc], axis=-1)
+            lh = jnp.where(na_m[None, :, :, None], 1.0, lh)
+            p2 = normalize(lh * w[None], axis=-1)
+            return p2[0], p2[1]
+
+        def op(key, state):
+            k_sel, k_draw = jax.random.split(key)
+            counts_old = (state.cl_counts, state.conf_counts)
+            if sel == "fixed":
+                obj_idx = jnp.arange(m)
+            else:
+                obj_idx = jax.random.choice(k_sel, N, shape=(m,), replace=False)
+                if sel == "sorted":
+                    obj_idx = jnp.sort(obj_idx)
+            valid = jnp.ones(m, bool)
+            feats_m = feats[obj_idx].astype(jnp.float32)
+            na_m = na[obj_idx]
+            old_rows = gather_rows(state.source, obj_idx)
+            hc_conf_m = hc_conf[obj_idx]
+            hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)
+            hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
+            cl_m = state.clusters[:, obj_idx].astype(jnp.float32)   # (K, m)
+            g_m = groups_t[:, :, obj_idx].astype(jnp.float32)       # (C-1,G,m)
+
+            p, w = post_rows(cl_m, g_m, counts_old, feats_m, na_m, hc_m,
+                             state.weights)
+            x = sample_categorical_onehot(k_draw, p) & ~na_m[:, :, None]
+            new_rows = jnp.where(valid[:, None, None], x, old_rows)
+            log_q = cond._rows_logp(p, new_rows, valid, na_m)
+
+            if mm_delta:
+                d0 = (new_rows[:, :, 0].astype(jnp.float32)
+                      - old_rows[:, :, 0].astype(jnp.float32))      # (m, F)
+                V0 = (d0[:, :, None] * feats_m).reshape(m, -1)      # (m, F*S)
+                delta_cl = jnp.dot(cl_m, V0,
+                                   preferred_element_type=jnp.float32
+                                   ).reshape(K, F, S)
+                dc = (new_rows[:, :, 1:].astype(jnp.float32)
+                      - old_rows[:, :, 1:].astype(jnp.float32))     # (m,F,C-1)
+                dconf = []
+                for c_i in range(n_conf):
+                    Vc = (dc[:, :, c_i][:, :, None] * feats_m).reshape(m, -1)
+                    dconf.append(jnp.dot(g_m[c_i], Vc,
+                                         preferred_element_type=jnp.float32
+                                         ).reshape(G, F, S))
+                counts_new = (counts_old[0] + delta_cl,
+                              counts_old[1] + jnp.stack(dconf))
+            else:
+                counts_new = cond.delta_counts_rows(
+                    counts_old, state.clusters, obj_idx, valid,
+                    old_rows, new_rows, feats_m)
+            pat_new = fac._delta_pat(state.pat_counts, obj_idx, valid,
+                                     hc0, hc0, old_rows, new_rows)
+            if stacked_back:
+                p, p_back = post_rows_both(cl_m, g_m, counts_old, counts_new,
+                                           feats_m, na_m, w)
+            else:
+                p_back, _ = post_rows(cl_m, g_m, counts_new, feats_m, na_m,
+                                      hc_m, state.weights)
+            log_q_back = cond._rows_logp(p_back, old_rows, valid, na_m)
+            sp_delta = (
+                cond.source_prior_rows_logp(state.weights, hc_m, new_rows, valid, na_m)
+                - cond.source_prior_rows_logp(state.weights, hc_m, old_rows, valid, na_m))
+            return (log_q, log_q_back, sp_delta,
+                    counts_new[0].sum() * 1e-6, counts_new[1].sum() * 1e-6,
+                    (jnp.zeros(()) if pat_new is None else pat_new.sum() * 1e-6))
+        return op
+
     keys_scan = jax.random.split(jax.random.PRNGKey(11), STEPS)
     scan_variants = [
         ("s_full", per_chain(), None),
@@ -336,6 +452,16 @@ def main(B=1024):
         ("s_no_pat", per_chain(pat=False), None),
         ("s_full+dll", per_chain(), d_ll_extra),
         ("s_full+scat", per_chain(), scatter_extra),
+        ("s_full_fixed", per_chain(fixed_sel=True), None),
+        ("s2_base", per_chain2(), None),
+        ("s2_sorted", per_chain2(sel="sorted"), None),
+        ("s2_mm", per_chain2(mm_delta=True), None),
+        ("s2_stackb", per_chain2(stacked_back=True), None),
+        ("s2_2step", per_chain2(twostep_post=True), None),
+        ("s2_all", per_chain2(mm_delta=True, stacked_back=True,
+                              twostep_post=True), None),
+        ("s2_mm+stk", per_chain2(mm_delta=True, stacked_back=True), None),
+        ("s_onehot", op_onehot, None),
     ]
     for name, opf, ex in scan_variants:
         fn = scanned(opf, extra=ex)
