@@ -13,7 +13,10 @@ variant is one compiled program, so the deltas attribute fused cost):
     v_no_pat      pattern-count delta skipped
     v_min         select + const gathers + forward sample + logp only
 
-    python benchmarks/source_ablation_probe.py [n_chains]
+    python benchmarks/source_ablation_probe.py [n_chains] [variant ...]
+
+With variant names given, only those run (and the non-scan block is
+skipped) — keeps one tunnel session within the compile budget.
 """
 import os
 import sys
@@ -45,14 +48,17 @@ def timeit(fn, *args, reps=30):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
-def main(B=1024):
+def main(B=1024, only=()):
     data = synthetic_data(n_objects=100, n_features=36, n_states=6,
                           n_families=6, seed=0)
     config = synthetic_config(n_clusters=3, geo_prior="uniform")
     model = Model(data, config.model)
     rt = SamplerRuntime(model, config.mcmc, sample_from_prior=False)
+    t0 = time.perf_counter()
     states = rt.init_chains(jax.random.PRNGKey(0), B)
     states = _refresh_states_jit(rt.consts, rt.sample_from_prior, states)
+    jax.block_until_ready(states)
+    print(f"setup: init_chains({B}) {time.perf_counter()-t0:.1f}s", flush=True)
     cond = Conditionals(Posterior(rt.consts, False), 1.0, 1.0)
     consts = cond.consts
     N = consts.N
@@ -131,6 +137,8 @@ def main(B=1024):
         ("v_min", make_variant(minimal=True)),
     ]
     for name, fn in variants:
+        if only and name not in only:
+            continue
         print(f"{name:12s}: {timeit(fn, keys, states):7.3f} ms", flush=True)
 
     # ---- scan-based: amortizes the per-dispatch tunnel floor; matches the
@@ -464,10 +472,15 @@ def main(B=1024):
         ("s_onehot", op_onehot, None),
     ]
     for name, opf, ex in scan_variants:
+        if only and name not in only:
+            continue
         fn = scanned(opf, extra=ex)
         t = timeit(fn, keys_scan, states, reps=5) / STEPS
         print(f"{name:12s}: {t:7.3f} ms/step (in-scan)", flush=True)
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:]])
+    _args = sys.argv[1:]
+    _B = int(_args[0]) if _args and _args[0].isdigit() else 1024
+    _only = tuple(a for a in _args if not a.isdigit())
+    main(_B, _only)
