@@ -48,7 +48,23 @@ def timeit(fn, *args, reps=30):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+# All variant names accepted as positional filters (kept in sync with the
+# two variant lists in main() via asserts there).
+VARIANT_NAMES = (
+    "v_full", "v_fixed_sel", "v_no_back", "v_no_delta", "v_no_sp",
+    "v_no_pat", "v_min",
+    "s_full", "s_no_back", "s_no_delta", "s_min", "s_min_fixed",
+    "s_no_qback", "s_no_outs", "s_no_sp", "s_no_pat", "s_full+dll",
+    "s_full+scat", "s_full_fixed", "s2_base", "s2_sorted", "s2_mm",
+    "s2_stackb", "s2_2step", "s2_all", "s2_mm+stk", "s_onehot",
+)
+
+
 def main(B=1024, only=()):
+    unknown = [n for n in only if n not in VARIANT_NAMES]
+    if unknown:
+        raise SystemExit(
+            f"unknown variant name(s) {unknown}; valid: {', '.join(VARIANT_NAMES)}")
     data = synthetic_data(n_objects=100, n_features=36, n_states=6,
                           n_families=6, seed=0)
     config = synthetic_config(n_clusters=3, geo_prior="uniform")
@@ -136,6 +152,7 @@ def main(B=1024, only=()):
         ("v_no_pat", make_variant(pat=False)),
         ("v_min", make_variant(minimal=True)),
     ]
+    assert {n for n, _ in variants} <= set(VARIANT_NAMES), "VARIANT_NAMES drifted"
     for name, fn in variants:
         if only and name not in only:
             continue
@@ -471,6 +488,7 @@ def main(B=1024, only=()):
         ("s2_mm+stk", per_chain2(mm_delta=True, stacked_back=True), None),
         ("s_onehot", op_onehot, None),
     ]
+    assert {n for n, _, _ in scan_variants} <= set(VARIANT_NAMES), "VARIANT_NAMES drifted"
     for name, opf, ex in scan_variants:
         if only and name not in only:
             continue
@@ -480,7 +498,15 @@ def main(B=1024, only=()):
 
 
 if __name__ == "__main__":
+    # Usage: probe.py [chains] [variant ...] — the chain count may only be
+    # the FIRST argument; a numeric arg anywhere else is almost certainly a
+    # misplaced chain count, so error instead of silently dropping it.
     _args = sys.argv[1:]
     _B = int(_args[0]) if _args and _args[0].isdigit() else 1024
-    _only = tuple(a for a in _args if not a.isdigit())
-    main(_B, _only)
+    _rest = _args[1:] if _args and _args[0].isdigit() else _args
+    _stray = [a for a in _rest if a.isdigit()]
+    if _stray:
+        raise SystemExit(
+            f"numeric argument(s) {_stray} not in the leading position; "
+            "usage: source_ablation_probe.py [chains] [variant ...]")
+    main(_B, tuple(_rest))

@@ -130,6 +130,34 @@ def main(
             pool.map(runner, run_configurations)
 
 
+def _ask_config_file_dialog() -> "str | None":
+    """File-dialog fallback when no config argument is given (reference:
+    cli.py:161-173). Returns None when no usable GUI exists (headless
+    environment, tkinter missing, or no display)."""
+    import os
+    import sys
+
+    if not (sys.stdin.isatty() and (os.environ.get("DISPLAY")
+                                    or sys.platform in ("win32", "darwin"))):
+        return None
+    try:
+        import tkinter as tk
+        from tkinter import filedialog
+    except ImportError:
+        return None
+    try:
+        tk.Tk().withdraw()
+        return filedialog.askopenfilename(
+            title="Select a config file in YAML or JSON format.",
+            initialdir="..",
+            filetypes=(("json files", ".json"),
+                       ("yaml files", ".yaml .yml"),
+                       ("all files", "*.*")),
+        ) or None
+    except tk.TclError:
+        return None
+
+
 def _str2bool(v: str) -> bool:
     if v.lower() in ("1", "true", "yes", "y", "on"):
         return True
@@ -161,7 +189,14 @@ def cli(args=None):
 
     config = ns.config
     if config is None:
-        parser.error("A config file is required.")
+        # Reference parity (cli.py:161-173): ask for the config via a file
+        # dialog when none was given. Only attempt the GUI on an interactive
+        # display; headless TPU pods get a readable error instead of a
+        # tkinter TclError traceback.
+        config = _ask_config_file_dialog()
+        if not config:
+            parser.error("A config file is required (no config argument and "
+                         "no interactive display for the file dialog).")
     if not Path(config).is_file():
         parser.error(f"Config file not found: {config}")
 

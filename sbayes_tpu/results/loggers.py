@@ -377,6 +377,11 @@ class OperatorStatsLogger(ResultsLogger):
 
     def write_sample(self, sample: SampleRecord):
         with open(self.path, "w") as f:
+            f.write("# STEP-TIME is a per-run probe estimate (each operator "
+                    "branch timed standalone at run start and mid-run), not "
+                    "an in-run distribution: the fused device scan cannot "
+                    "time individual lax.switch branches inline the way the "
+                    "reference times each Python operator call.\n")
             f.write(self.get_log_message_header() + "\n")
             for op in self.operators:
                 f.write(self.get_log_message_row(op) + "\n")

@@ -106,8 +106,26 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
                 return old_state.log_lh + ll_delta, ll_delta
             if (counts is not None and old_state.cl_counts is not None
                     and not getattr(spec, "forced_accept", False)):
-                d = post.log_likelihood_diff_from_counts(
-                    counts, (old_state.cl_counts, old_state.conf_counts))
+                # Exact generic count-diff. Two forms, both exact (unchanged
+                # cells cancel bitwise): the per-feature two-pass diff and
+                # the lane-packed single-stack diff (posterior.py). The
+                # packed form wins standalone (~4x: no S-minor padding) but
+                # LOSES ~4x inside the fused multi-branch ensemble program
+                # at the headline shape — the round-4 headline regression
+                # (BENCH_r04 geo_off 93k vs 392k steps/s with this
+                # per-feature form; benchmarks/tpu_session_results.txt
+                # round 5). Default: per-feature; SBAYES_TPU_PACKED_DLL=1
+                # opts into the packed form for re-measurement.
+                import os
+
+                if os.environ.get("SBAYES_TPU_PACKED_DLL") == "1":
+                    d = post.log_likelihood_diff_from_counts(
+                        counts, (old_state.cl_counts, old_state.conf_counts))
+                else:
+                    ncl, nconf = post.log_likelihood_per_feature(*counts)
+                    ocl, oconf = post.log_likelihood_per_feature(
+                        old_state.cl_counts, old_state.conf_counts)
+                    d = (ncl - ocl).sum() + (nconf - oconf).sum()
                 return old_state.log_lh + d, d
             if counts is not None:
                 ll = post.log_likelihood_from_counts(*counts)

@@ -1084,11 +1084,15 @@ class MCMCSetup:
                     jax.random.split(jax.random.fold_in(k_run, 0xbe5), n_chains),
                     states, temps, ptemps, force=True)
 
+            # Save only when NEW swap attempts happened since the last save
+            # (reference cadence: mcmc_setup.py:331-335). Track attempts on
+            # both sides of the guard — comparing attempts to accepts (the
+            # round-4 wart) made it save every interval regardless.
             if mc3.log_swap_matrix and self.last_swap_matrix_save < self.swap_attempts:
                 self.swap_matrix = np.asarray(swap_matrix_dev[0])
                 path = self.path_results / f"mc3_swaps_K{self.model.n_clusters}_{run}.txt"
                 np.savetxt(path, self.swap_matrix, fmt="%i")
-                self.last_swap_matrix_save = self.swap_accepts
+                self.last_swap_matrix_save = self.swap_attempts
 
             # ---- logging at sample intervals ----
             for c in range(n_chains):

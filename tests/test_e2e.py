@@ -161,6 +161,8 @@ def test_contribution_per_cluster_columns(results_dir):
 def test_operator_step_times_are_measured(results_dir):
     out = _run(results_dir, custom={"mcmc": {"steps": 100, "samples": 5}}, name="optimes")
     txt = (out / "operator_stats_K1_0.txt").read_text().splitlines()
+    assert txt[0].startswith("#") and "probe estimate" in txt[0]
+    txt = [line for line in txt if not line.startswith("#")]
     header = txt[0]
     i_col = header.index("STEP-TIME")
     times = []
@@ -214,6 +216,28 @@ def test_mc3_run(results_dir):
     assert swap_matrix.exists()
     m = np.loadtxt(swap_matrix)
     assert m.shape == (3, 3)
+
+
+def test_mc3_swap_matrix_saved_only_on_new_attempts(results_dir):
+    """The swap-matrix file appears exactly when swap attempts happened
+    (reference cadence: mcmc_setup.py:331-335). The round-4 guard compared
+    attempts against ACCEPTS, defeating its own save-only-on-new-swaps
+    purpose — with swap_interval beyond the run length no attempts occur
+    and no file must be written (test_mc3_run covers the positive case)."""
+    out = _run(
+        results_dir,
+        custom={
+            "mcmc": {
+                "steps": 100, "samples": 5,
+                "warmup": {"warmup_steps": 10, "warmup_chains": 2},
+                "mc3": {"activate": True, "chains": 2, "swap_interval": 1000,
+                        "temperature_diff": 0.2},
+            }
+        },
+        name="mc3noswaps",
+    )
+    assert (out / "stats_K1_0.txt").exists()
+    assert not (out / "mc3_swaps_K1_0.txt").exists()
 
 
 def test_carried_refresh_in_sampling_loops(results_dir, monkeypatch):
