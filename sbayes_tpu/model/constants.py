@@ -170,6 +170,15 @@ class ModelConstants:
     static_pat: Any = None          # int32 (N,) static pattern id per object
     pat_bits: Any = None            # f32 (P, C) availability bits per pattern
 
+    # Packed source-state layout: the chain state carries the component
+    # attribution as int8 (N, F) indices (sentinel C = NA) instead of the
+    # bool one-hot (N, F, C) tensor — C x less memory AND HBM traffic for
+    # the biggest chain-state leaf (10k x 5k x 3 = 150 MB/chain in bool).
+    # All source math is polymorphic on the two forms (model/math.py
+    # source_* helpers); ops exchange one-hot ROWS either way. Auto-on at
+    # scale (see auto_source_packed); env SBAYES_TPU_SOURCE_DTYPE=idx|bool.
+    source_packed: bool = False
+
     # misc
     dtype: Any = np.float32
 
@@ -408,6 +417,7 @@ def build_model_constants(data: Data, config: ModelConfig, n_clusters: Optional[
         na_tl=na_tl,
         static_pat=jnp.asarray(static_pat),
         pat_bits=jnp.asarray(pat_bits),
+        source_packed=auto_source_packed(N, F, 1 + n_conf),
     )
 
 
@@ -429,6 +439,7 @@ _MC_ARRAY_FIELDS = (
 _MC_STATIC_FIELDS = (
     "shapes", "conf_names", "group_names", "n_groups", "weights_prior_uniform",
     "geo", "size_prior_type", "min_size", "max_size", "feature_chunk", "dtype",
+    "source_packed",
 )
 
 
@@ -483,6 +494,25 @@ def _mc_unflatten(aux: _StaticConsts, children):
 import jax.tree_util  # noqa: E402
 
 jax.tree_util.register_pytree_node(ModelConstants, _mc_flatten, _mc_unflatten)
+
+
+def auto_source_packed(n_objects: int, n_features: int, n_components: int,
+                       byte_threshold: int = 16 * 1024 * 1024) -> bool:
+    """Whether the chain state stores the packed int8 (N, F) source form.
+
+    Packed only at scale: the per-chain bool (N, F, C) buffer must exceed
+    ``byte_threshold`` (small models keep the bool form, which the oracle
+    tests and the one-hot MXU row engine exercise bit-tight), and the
+    sentinel C must fit int8. Env ``SBAYES_TPU_SOURCE_DTYPE``:
+    ``idx`` | ``bool``.
+    """
+    import os
+
+    env = os.environ.get("SBAYES_TPU_SOURCE_DTYPE")
+    if env is not None:
+        return {"idx": True, "int8": True, "bool": False}[env.lower()]
+    return (n_components < 127
+            and n_objects * n_features * n_components > byte_threshold)
 
 
 def auto_feature_dtype(n_objects: int, n_features: int,

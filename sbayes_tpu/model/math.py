@@ -24,6 +24,71 @@ def normalize(x, axis=-1):
     return x / jnp.sum(x, axis=axis, keepdims=True)
 
 
+# ---------------------------------------------------------------------
+# Source-tensor representations.
+#
+# The component attribution of each observation is logically a one-hot
+# bool (N, F, C) tensor with ALL-ZERO rows at NA cells (reference:
+# sbayes/sampling/state.py:501 ``source``). At scale it is the largest
+# chain-state leaf by far (10k x 5k x 3 = 150 MB/chain), so the state can
+# instead carry the PACKED form: int8 (N, F) component indices with the
+# sentinel ``C`` meaning "NA/no component" (the same sentinel convention
+# as the Pallas idx feature layout, constants.py:353-377, and the padded
+# row index N of gather/scatter_rows). Every helper below is polymorphic
+# on the two forms; ops compute with one-hot ROWS either way (row shapes
+# are m-sized, never N-sized).
+# ---------------------------------------------------------------------
+
+
+def source_is_packed(src) -> bool:
+    """True for the packed int8 (…, N, F) index form."""
+    return src.dtype == jnp.int8
+
+
+def source_comp(src, i, dtype=None):
+    """Component-membership mask ``source[..., i]`` as ``dtype`` (or bool)."""
+    m = (src == i) if source_is_packed(src) else src[..., i]
+    return m if dtype is None else m.astype(dtype)
+
+
+def source_onehot(src, n_components: int):
+    """Expand to the bool one-hot (…, N, F, C) form (identity if already
+    one-hot). The sentinel index C produces an all-zero row."""
+    if not source_is_packed(src):
+        return src
+    return jax.nn.one_hot(src, n_components, dtype=bool)
+
+
+def pack_source(src_bool):
+    """Bool one-hot (…, F, C) -> packed int8 (…, F); all-zero rows (NA)
+    map to the sentinel C."""
+    c = src_bool.shape[-1]
+    idx = jnp.argmax(src_bool, axis=-1)
+    return jnp.where(src_bool.any(-1), idx, c).astype(jnp.int8)
+
+
+def source_pick(p, src):
+    """``(p * source_onehot).sum(-1)``: the probability (or weight) each
+    observation's chosen component picked from ``p`` (…, N, F, C); 0.0 at
+    NA cells. ``p`` may broadcast against the source batch shape."""
+    if not source_is_packed(src):
+        return (p * src).sum(-1)
+    p_ext = jnp.concatenate([p, jnp.zeros_like(p[..., :1])], axis=-1)  # C -> 0.0
+    return jnp.take_along_axis(
+        p_ext, src.astype(jnp.int32)[..., None], axis=-1)[..., 0]
+
+
+def source_n_changed(a, b):
+    """The source-op step-size statistic, reference parity:
+    ``count_nonzero(old ^ new)`` of the bool one-hot form (reference
+    operators.py:576-579) — i.e. BIT flips, two per reassigned cell. The
+    NA mask is a property of the data, so a cell is either one-hot in
+    both states (2 flips when changed) or empty in both (0)."""
+    if source_is_packed(a):
+        return 2.0 * (a != b).sum().astype(jnp.float32)
+    return (a ^ b).sum().astype(jnp.float32)
+
+
 # Row gather/scatter on the per-chain (N, F, C) source tensor.
 #
 # Under vmap, ``src[idx]`` / ``src.at[idx].set(rows)`` with per-chain
@@ -49,12 +114,20 @@ def _rows_mm(n, f, c):
     return n * f * c <= _ROWS_MM_MAX_BYTES
 
 
-def gather_rows(src, idx):
-    """``src[idx]`` for bool src (N, F, C), idx (m,) int (N = padded).
+def gather_rows(src, idx, n_components: int | None = None):
+    """``src[idx]`` as bool one-hot rows (m, F, C); idx (m,) int (N = padded,
+    yielding an all-zero row).
 
-    Engine-switched: one-hot MXU matmul at small sizes (exact: 0/1
-    operands, <=1 nonzero per one-hot row, f32 accumulate), native
-    gather (mode='fill') at large."""
+    Engine-switched for the bool (N, F, C) form: one-hot MXU matmul at
+    small sizes (exact: 0/1 operands, <=1 nonzero per one-hot row, f32
+    accumulate), native gather (mode='fill') at large. For the PACKED
+    int8 (N, F) form (``n_components`` required) the native gather moves
+    C× fewer bytes and the padded index fills with the sentinel C, which
+    the one-hot expansion maps to the all-zero row."""
+    if source_is_packed(src):
+        assert n_components is not None, "packed source needs n_components"
+        rows = src.at[idx].get(mode="fill", fill_value=n_components)
+        return jax.nn.one_hot(rows, n_components, dtype=bool)
     n, f, c = src.shape
     if not _rows_mm(n, f, c):
         return src.at[idx].get(mode="fill", fill_value=False)
@@ -70,7 +143,11 @@ def scatter_rows(src, idx, rows):
 
     One-hot MXU matmul-add at small sizes (subtract the gathered old
     rows, add the new: exact integer arithmetic in f32), native in-place
-    scatter at large."""
+    scatter at large. ``rows`` is always the bool one-hot (m, F, C) form;
+    with a PACKED destination the rows are packed (argmax + sentinel C
+    for all-zero/NA rows) before the int8 in-place scatter."""
+    if source_is_packed(src):
+        return src.at[idx].set(pack_source(rows), mode="drop")
     n, f, c = src.shape
     if not _rows_mm(n, f, c):
         return src.at[idx].set(rows, mode="drop")
@@ -200,13 +277,13 @@ def compute_feature_counts(clusters, source, features, conf_groups, f_chunk=None
         # "cgn,nfc,nfs->cgfs", whose every pairwise contraction path
         # materializes an O(N·F·S·C) or O(G·N·F) intermediate — measured
         # ~5x worse HBM traffic at the 10k x 5k shape.
-        src0 = source_t[:, :, 0].astype(dtype)
+        src0 = source_comp(source_t, 0, dtype)
         fx0 = feats_t * src0[:, :, None]
         cl = jnp.einsum("kn,nfs->kfs", clusters.astype(dtype), fx0,
                         preferred_element_type=jnp.float32)
         conf_parts = []
-        for i_c in range(source_t.shape[-1] - 1):
-            src_c = source_t[:, :, 1 + i_c].astype(dtype)
+        for i_c in range(conf_groups.shape[0]):
+            src_c = source_comp(source_t, 1 + i_c, dtype)
             fx_c = feats_t * src_c[:, :, None]
             conf_parts.append(jnp.einsum(
                 "gn,nfs->gfs", conf_groups[i_c].astype(dtype), fx_c,

@@ -26,6 +26,9 @@ from sbayes_tpu.model.math import (
     compute_feature_counts,
     log_expit,
     normalize_weights,
+    source_comp,
+    source_is_packed,
+    source_pick,
 )
 from sbayes_tpu.ops.mst import cluster_mst_edge_costs
 
@@ -135,7 +138,10 @@ class Posterior:
 
     def log_likelihood(self, state):
         if self._pallas_loglh is not None:
-            return self._pallas_loglh(state.clusters[None], state.source[None])[0]
+            from sbayes_tpu.model.math import source_onehot
+
+            src = source_onehot(state.source, self.consts.C)
+            return self._pallas_loglh(state.clusters[None], src[None])[0]
         cl_counts, conf_counts = self.feature_counts(state.clusters, state.source)
         return self.log_likelihood_from_counts(cl_counts, conf_counts)
 
@@ -176,6 +182,15 @@ class Posterior:
 
         def slice_fn(source_t):
             f = source_t.shape[1]
+            if source_is_packed(source_t):
+                # per-component (P, N) @ (N, f) mask matmuls: C x fewer
+                # streamed bytes than expanding the one-hot form
+                return jnp.stack([
+                    jnp.dot(pat_oh.T,
+                            source_comp(source_t, i, jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                    for i in range(c.C)
+                ], axis=-1)
             m = jnp.dot(
                 pat_oh.T,
                 source_t.reshape(source_t.shape[0], f * c.C).astype(jnp.bfloat16),
@@ -453,7 +468,7 @@ class Posterior:
 
         def logp_of(weights_t, source_t, na_t):
             w = normalize_weights(weights_t, hc)
-            p = (w * source_t).sum(-1)
+            p = source_pick(w, source_t)
             valid = ~na_t
             return jnp.where(valid, jnp.log(jnp.where(valid, p, 1.0)), 0.0).sum()
 

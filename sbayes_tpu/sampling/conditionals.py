@@ -25,7 +25,11 @@ from sbayes_tpu.model.math import (
     gather_rows,
     normalize,
     normalize_weights,
+    pack_source,
     sample_categorical_onehot,
+    source_comp,
+    source_is_packed,
+    source_pick,
 )
 from sbayes_tpu.model.posterior import Posterior
 
@@ -158,9 +162,9 @@ class Conditionals:
         groups = jnp.asarray(c.groups).astype(dtype)
         return jnp.stack([
             jnp.einsum("gn,nfs->gfs", groups[i_c],
-                       feats * source[:, :, 1 + i_c].astype(dtype)[:, :, None],
+                       feats * source_comp(source, 1 + i_c, dtype)[:, :, None],
                        preferred_element_type=jnp.float32)
-            for i_c in range(source.shape[-1] - 1)
+            for i_c in range(c.C - 1)
         ], axis=0)
 
     def _clgu_slice(self, clusters, subset, i_cluster, fs: "_FeatureSlice"):
@@ -180,7 +184,7 @@ class Conditionals:
         # Cluster component: counts from (cluster & ~subset) rows.
         cluster = clusters[i_cluster]
         keep = cluster.astype(dtype) * (1.0 - sub)
-        src0 = fs.source[:, :, 0].astype(dtype)
+        src0 = source_comp(fs.source, 0, dtype)
         cl_counts_keep = jnp.einsum("n,nf,nfs->fs", keep, src0, feats,
                                     preferred_element_type=jnp.float32)
         cluster_effect = conditional_effect_mean(
@@ -200,9 +204,9 @@ class Conditionals:
         groups = jnp.asarray(c.groups).astype(dtype)
         changeable = jnp.stack([
             jnp.einsum("gn,nfs->gfs", groups[i_c] * sub[None, :],
-                       feats * (fs.source[:, :, 1 + i_c].astype(dtype))[:, :, None],
+                       feats * source_comp(fs.source, 1 + i_c, dtype)[:, :, None],
                        preferred_element_type=jnp.float32)
-            for i_c in range(fs.source.shape[-1] - 1)
+            for i_c in range(c.C - 1)
         ], axis=0)
         unchangeable = fs.conf_counts - changeable
         conf_effect = conditional_effect_mean(
@@ -249,7 +253,7 @@ class Conditionals:
                        conc_cl_t, conc_conf_t):
             # Cluster component: for object o in cluster k, effect is
             # normalize(counts[k] + conc - own contribution).
-            own0 = feats * source_t[:, :, 0][:, :, None].astype(dtype)  # (N,f,S)
+            own0 = feats * source_comp(source_t, 0, dtype)[:, :, None]  # (N,f,S)
             base_cl = cl_counts_t + conc_cl_t[None]                     # (K,f,S)
             per_obj_cl = jnp.einsum("kn,kfs->nfs", clusters.astype(jnp.float32),
                                     base_cl) - (
@@ -264,7 +268,7 @@ class Conditionals:
             base_conf = conf_counts_t + conc_conf_t  # (Cm1,Gmax,f,S)
             lhs = [lh0[:, :, None]]
             for i_c in range(groups.shape[0]):
-                own = feats * source_t[:, :, 1 + i_c][:, :, None].astype(dtype)
+                own = feats * source_comp(source_t, 1 + i_c, dtype)[:, :, None]
                 per_obj = jnp.einsum("gn,gfs->nfs", groups[i_c], base_conf[i_c]) - (
                     (groups[i_c].sum(0) > 0)[:, None, None] * own
                 )
@@ -334,7 +338,7 @@ class Conditionals:
     @staticmethod
     def _masked_logp_slice(p, source, subset, na_t):
         valid = (~na_t) & subset[:, None]
-        chosen = (p * source).sum(-1)
+        chosen = source_pick(p, source)
         return jnp.where(valid, jnp.log(jnp.maximum(chosen, 1e-35)), 0.0).sum()
 
     def _resample_engine(self, key, state_old, clusters_new, subset,
@@ -375,7 +379,10 @@ class Conditionals:
 
             x = sample_categorical_onehot(k, p)
             x = x & ~fs.na[:, :, None]
-            source_new_t = jnp.where(subset[:, None, None], x, fs.source)
+            if source_is_packed(fs.source):
+                source_new_t = jnp.where(subset[:, None], pack_source(x), fs.source)
+            else:
+                source_new_t = jnp.where(subset[:, None, None], x, fs.source)
             log_q = self._masked_logp_slice(p, source_new_t, subset, fs.na)
             log_q_back = self._masked_logp_slice(p_back, fs.source, subset, fs.na)
             return source_new_t, log_q, log_q_back
@@ -397,7 +404,8 @@ class Conditionals:
             return tile_out(fs, k)
 
         src_t, lq_t, lqb_t = jax.lax.map(tile_body, (jnp.arange(n_tiles), keys))
-        source_new = jnp.moveaxis(src_t, 0, 1).reshape(c.N, c.F, c.C)
+        out_shape = ((c.N, c.F) if src_t.ndim == 3 else (c.N, c.F, c.C))
+        source_new = jnp.moveaxis(src_t, 0, 1).reshape(out_shape)
         return SourceResample(source_new, lq_t.sum(), lqb_t.sum())
 
     # ------------------------------------------------------------------
@@ -486,7 +494,8 @@ class Conditionals:
         # then f32-tight).
         feats_m = jnp.asarray(c.features)[obj_idx].astype(jnp.float32)  # (m, F, S)
         na_m = jnp.asarray(c.na)[obj_idx]                # (m, F)
-        src_rows_old = gather_rows(state_old.source, obj_idx)  # (m, F, C)
+        src_rows_old = gather_rows(state_old.source, obj_idx,
+                                   self.consts.C)  # (m, F, C)
 
         hc_conf_m = jnp.asarray(c.hc_conf)[obj_idx]      # (m, C-1)
         hc0_new = jnp.any(clusters_new[:, obj_idx], axis=0)

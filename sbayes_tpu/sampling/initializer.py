@@ -240,6 +240,10 @@ class Initializer:
         hc = cond.post.has_components(clusters)
         w_normed = normalize_weights(weights, hc)
         source = sample_categorical_onehot(keys[1], w_normed) & ~na[:, :, None]
+        if c.source_packed:
+            from sbayes_tpu.model.math import pack_source
+
+            source = pack_source(source)
 
         state = ChainState(
             clusters=clusters,
@@ -259,8 +263,13 @@ class Initializer:
                 state = self.ml_step(jax.random.fold_in(keys[3], i_c), state, i_c)
 
             # Re-estimate weights from source ratios (initializers.py:299-305)
+            from sbayes_tpu.model.math import source_comp
+
             hc = cond.post.has_components(state.clusters).astype(jnp.float32)
-            s_ratio = state.source.sum(0) / jnp.maximum(hc.sum(0, keepdims=True), 1e-35)
+            s_counts = jnp.stack(
+                [source_comp(state.source, i, jnp.float32).sum(0)
+                 for i in range(c.C)], axis=-1)                       # (F, C)
+            s_ratio = s_counts / jnp.maximum(hc.sum(0, keepdims=True), 1e-35)
             state = state._replace(weights=normalize(1.0 + s_ratio, axis=-1))
 
             # Another full source draw and cluster refinement round

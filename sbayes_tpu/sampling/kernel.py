@@ -235,7 +235,8 @@ def make_mh_apply_fn(cond: Conditionals, op_specs: Sequence[OperatorSpec]) -> Ca
 
                 idx, rows_new = res.source_rows
                 rows_final = jnp.where(
-                    accept, rows_new, gather_rows(state.source, idx))
+                    accept, rows_new,
+                    gather_rows(state.source, idx, post.consts.C))
                 new_state = new_state._replace(
                     source=scatter_rows(state.source, idx, rows_final))
             return new_state, accept, res.step_size, nf

@@ -30,7 +30,10 @@ from sbayes_tpu.model.math import (
     gather_rows,
     normalize,
     normalize_weights,
+    pack_source,
     sample_categorical_onehot,
+    source_is_packed,
+    source_n_changed,
 )
 from sbayes_tpu.sampling.conditionals import EPS32, Conditionals
 from sbayes_tpu.sampling.state import ChainState
@@ -97,7 +100,9 @@ def resolve_result_state(res: OpResult):
     if res.source_rows is None:
         return res.state
     idx, rows = res.source_rows
-    return res.state._replace(source=res.state.source.at[idx].set(rows))
+    from sbayes_tpu.model.math import scatter_rows
+
+    return res.state._replace(source=scatter_rows(res.state.source, idx, rows))
 
 
 def _masked_categorical(key, p, mask):
@@ -624,7 +629,7 @@ class OperatorFactory:
             rs = cond.gibbs_resample_source_rows(
                 k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
                 i_cluster, counts)
-            src_obj = gather_rows(state.source, obj[None])   # (1, F, C)
+            src_obj = gather_rows(state.source, obj[None], consts.C)   # (1, F, C)
             cl_new, conf_new, ll_d = self._delta_counts(
                 counts, obj, state.clusters, clusters_new,
                 src_obj[0], rs.new_rows[0])
@@ -904,7 +909,7 @@ class OperatorFactory:
             rs = cond.gibbs_resample_source_rows(
                 k_src, state, clusters_new, obj_idx, valid, i_cluster, counts)
             feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
-            src_rows_old = gather_rows(state.source, obj_idx)
+            src_rows_old = gather_rows(state.source, obj_idx, consts.C)
             counts_new = cond.delta_counts_rows_move(
                 counts, state.clusters, clusters_new, obj_idx, valid,
                 src_rows_old, rs.new_rows, feats_m)
@@ -1179,7 +1184,7 @@ class OperatorFactory:
                 k_src, state, clusters_new, obj[None], jnp.ones(1, bool),
                 i_cluster_new=i_tgt, i_cluster_old=i_src,
                 counts=(cl_counts, conf_counts))
-            src_obj = gather_rows(state.source, obj[None])   # (1, F, C)
+            src_obj = gather_rows(state.source, obj[None], consts.C)   # (1, F, C)
             cl_counts2, conf_counts2, ll_d = self._delta_counts(
                 (cl_counts, conf_counts), obj, state.clusters, clusters_new,
                 src_obj[0], rs.new_rows[0],
@@ -1283,7 +1288,7 @@ class OperatorFactory:
             # f32 gathered rows: see Conditionals._resample_engine_rows
             feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
             na_m = na[obj_idx]
-            old_rows = gather_rows(state.source, obj_idx)
+            old_rows = gather_rows(state.source, obj_idx, consts.C)
             hc_conf_m = jnp.asarray(consts.hc_conf)[obj_idx]
             hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)
             hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
@@ -1349,7 +1354,7 @@ class OperatorFactory:
             obj_idx, valid = select_subset_idx(k_sel, state)
             feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
             na_m = na[obj_idx]                                  # (m, F)
-            old_rows = gather_rows(state.source, obj_idx)       # (m, F, C)
+            old_rows = gather_rows(state.source, obj_idx, consts.C)  # (m, F, C)
             hc_conf_m = jnp.asarray(consts.hc_conf)[obj_idx]    # (m, C-1)
             hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)   # (m,)
             hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
@@ -1457,7 +1462,10 @@ class OperatorFactory:
             p = posterior_probs(state, counts_old)
             x = sample_categorical_onehot(k_draw, p)
             x = x & ~na[:, :, None]
-            source_new = jnp.where(subset[:, None, None], x, state.source)
+            if source_is_packed(state.source):
+                source_new = jnp.where(subset[:, None], pack_source(x), state.source)
+            else:
+                source_new = jnp.where(subset[:, None, None], x, state.source)
 
             log_q = cond._masked_source_logp(p, source_new, subset)
             counts_new = cond.post.feature_counts(state.clusters, source_new)
@@ -1468,7 +1476,7 @@ class OperatorFactory:
             p_back = posterior_probs(state_new, counts_new)
             log_q_back = cond._masked_source_logp(p_back, state.source, subset)
 
-            step_size = (source_new ^ state.source).sum().astype(jnp.float32)
+            step_size = source_n_changed(source_new, state.source)
             return OpResult(state_new, log_q, log_q_back, step_size)
 
         def op_tiled(key, state):
@@ -1513,12 +1521,16 @@ class OperatorFactory:
                 src_t = feature_tile(state.source, i, fc, axis=1)
                 p = probs_tile(i, w_t, *counts_old, na_t)
                 x = sample_categorical_onehot(k, p) & ~na_t[:, :, None]
-                src_new_t = jnp.where(subset[:, None, None], x, src_t)
+                if source_is_packed(src_t):
+                    src_new_t = jnp.where(subset[:, None], pack_source(x), src_t)
+                else:
+                    src_new_t = jnp.where(subset[:, None, None], x, src_t)
                 log_q_t = cond._masked_logp_slice(p, src_new_t, subset, na_t)
                 return src_new_t, log_q_t
 
             src_t, lq_t = jax.lax.map(fwd_tile, (jnp.arange(n_tiles), keys))
-            source_new = jnp.moveaxis(src_t, 0, 1).reshape(c.N, c.F, c.C)
+            out_shape = (c.N, c.F) if src_t.ndim == 3 else (c.N, c.F, c.C)
+            source_new = jnp.moveaxis(src_t, 0, 1).reshape(out_shape)
             log_q = lq_t.sum()
 
             counts_new = cond.post.feature_counts(state.clusters, source_new)
@@ -1536,7 +1548,7 @@ class OperatorFactory:
 
             log_q_back = jax.lax.map(back_tile, jnp.arange(n_tiles)).sum()
 
-            step_size = (source_new ^ state.source).sum().astype(jnp.float32)
+            step_size = source_n_changed(source_new, state.source)
             return OpResult(state_new, log_q, log_q_back, step_size)
 
         if object_selector != "all":

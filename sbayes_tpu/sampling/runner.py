@@ -530,11 +530,15 @@ class SamplerRuntime:
         if with_cluster_contribution:
             lh_k, prior_k = self._cluster_contribution(state_c)
             contrib_lh, contrib_prior = np.asarray(lh_k), np.asarray(prior_k)
+        from sbayes_tpu.model.math import source_onehot
+
         return SampleRecord(
             i_step=i_step,
             clusters=np.asarray(state_c.clusters),
             weights=np.asarray(state_c.weights),
-            source=np.asarray(state_c.source),
+            # loggers consume the one-hot (N, F, C) view; unpack the
+            # packed int8 state form on the host (one sample at a time)
+            source=np.asarray(source_onehot(state_c.source, self.consts.C)),
             log_lh=float(parts.log_lh),
             log_prior=float(parts.log_prior),
             size_prior=float(parts.size_prior),
@@ -693,6 +697,16 @@ class MCMCSetup:
         with open(path, "rb") as f:
             d = pickle.load(f)
         state = ChainState.from_numpy(d)
+        # Convert the checkpoint's source form to the model's configured
+        # layout (a bool checkpoint resumes fine into a packed-source
+        # runtime and vice versa).
+        from sbayes_tpu.model.math import pack_source, source_is_packed, source_onehot
+
+        consts = self.model.consts
+        if consts.source_packed and not source_is_packed(state.source):
+            state = state._replace(source=pack_source(state.source))
+        elif not consts.source_packed and source_is_packed(state.source):
+            state = state._replace(source=source_onehot(state.source, consts.C))
         # Recompute the posterior bookkeeping: robust against checkpoints
         # missing prior_parts (stale parts would bias the specialized
         # source/weights MH updates after resume).
@@ -718,17 +732,20 @@ class MCMCSetup:
 
         @jax.jit
         def impute(key):
-            from sbayes_tpu.model.math import sample_categorical_onehot
+            from sbayes_tpu.model.math import pack_source, sample_categorical_onehot
+
+            def store(src_bool):
+                return pack_source(src_bool) if consts.source_packed else src_bool
 
             na = jnp.asarray(consts.na)
             w = normalize_weights(weights, cond.post.has_components(clusters))
             src = sample_categorical_onehot(key, w) & ~na[:, :, None]
-            state = ChainState(clusters, weights, src, jnp.float32(-jnp.inf),
+            state = ChainState(clusters, weights, store(src), jnp.float32(-jnp.inf),
                                jnp.float32(-jnp.inf), jnp.full((4,), -jnp.inf, jnp.float32))
             # one posterior Gibbs pass over the source
-            p = cond.source_posterior(clusters, weights, src)
+            p = cond.source_posterior(clusters, weights, state.source)
             src2 = sample_categorical_onehot(jax.random.fold_in(key, 1), p) & ~na[:, :, None]
-            state = state._replace(source=src2)
+            state = state._replace(source=store(src2))
             return cond.post.fill_state(state)
 
         state = impute(jax.random.PRNGKey(run))

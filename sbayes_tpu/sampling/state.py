@@ -31,7 +31,11 @@ class ChainState(NamedTuple):
 
     clusters: jnp.ndarray     # bool (K, N) cluster memberships
     weights: jnp.ndarray      # f32 (F, C) mixture weights per feature
-    source: jnp.ndarray       # bool (N, F, C) one-hot component attribution
+    # Component attribution: bool one-hot (N, F, C) — or, when
+    # ModelConstants.source_packed, the packed int8 (N, F) index form
+    # (sentinel C = NA): C x less memory/traffic for the largest leaf.
+    # model/math.py's source_* helpers are polymorphic on the two forms.
+    source: jnp.ndarray       # bool (N, F, C) | int8 (N, F)
     log_lh: jnp.ndarray       # f32 () current log-likelihood (unheated)
     log_prior: jnp.ndarray    # f32 () current log-prior (unheated)
     prior_parts: jnp.ndarray  # f32 (4,) [size, geo, weights, source] log-priors
@@ -101,7 +105,10 @@ class ChainState(NamedTuple):
         return cls(
             clusters=jnp.asarray(d["clusters"], dtype=bool),
             weights=jnp.asarray(d["weights"], dtype=jnp.float32),
-            source=jnp.asarray(d["source"], dtype=bool),
+            source=jnp.asarray(
+                d["source"],
+                dtype=(jnp.int8 if np.asarray(d["source"]).dtype == np.int8
+                       else bool)),
             log_lh=jnp.asarray(d.get("log_lh", -np.inf), dtype=jnp.float32),
             log_prior=jnp.asarray(d.get("log_prior", -np.inf), dtype=jnp.float32),
             prior_parts=jnp.asarray(
@@ -120,10 +127,14 @@ class ChainState(NamedTuple):
 
 def empty_state(consts: ModelConstants) -> ChainState:
     """An all-empty state with the right shapes (placeholder values)."""
+    if getattr(consts, "source_packed", False):
+        source = jnp.full((consts.N, consts.F), consts.C, dtype=jnp.int8)
+    else:
+        source = jnp.zeros((consts.N, consts.F, consts.C), dtype=bool)
     return ChainState(
         clusters=jnp.zeros((consts.K, consts.N), dtype=bool),
         weights=jnp.full((consts.F, consts.C), 1.0 / consts.C, dtype=jnp.float32),
-        source=jnp.zeros((consts.N, consts.F, consts.C), dtype=bool),
+        source=source,
         log_lh=jnp.asarray(-jnp.inf, dtype=jnp.float32),
         log_prior=jnp.asarray(-jnp.inf, dtype=jnp.float32),
         prior_parts=jnp.full((4,), -jnp.inf, dtype=jnp.float32),
