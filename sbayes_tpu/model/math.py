@@ -73,9 +73,14 @@ def source_pick(p, src):
     NA cells. ``p`` may broadcast against the source batch shape."""
     if not source_is_packed(src):
         return (p * src).sum(-1)
-    p_ext = jnp.concatenate([p, jnp.zeros_like(p[..., :1])], axis=-1)  # C -> 0.0
-    return jnp.take_along_axis(
-        p_ext, src.astype(jnp.int32)[..., None], axis=-1)[..., 0]
+    # On-the-fly one-hot multiply-sum, NOT take_along_axis: the gather
+    # form forces the (…, C) operand to materialize in a lane-padded
+    # tiled layout (C=3 pads to 128 lanes -> 43x memory, OOM at scale);
+    # the compare-multiply-reduce fuses exactly like the bool form's
+    # (p * source).sum(-1). Sentinel C matches nothing -> 0.0.
+    c = p.shape[-1]
+    oh = src[..., None] == jnp.arange(c, dtype=src.dtype)
+    return (p * oh).sum(-1)
 
 
 def source_n_changed(a, b):

@@ -55,12 +55,19 @@ class Posterior:
     """Pure functions evaluating likelihood and priors for a model."""
 
     def __init__(self, consts: ModelConstants, sample_from_prior: bool = False,
-                 use_pallas: bool = False):
+                 use_pallas: bool | None = None):
         self.consts = consts
         self.sample_from_prior = sample_from_prior
-        # Optional fused Pallas likelihood path (ops/pallas_kernels.py).
-        # Default off: the dev environment's remote-compile tunnel cannot
-        # build Mosaic kernels; the XLA einsum path is equivalent (tested).
+        # Optional fused full-likelihood Pallas kernel (ops/pallas_kernels.py),
+        # reachable from every production path via SBAYES_TPU_PALLAS_LOGLH=1.
+        # Default OFF by measurement: 1.03x at the VMEM-resident reference
+        # shape (benchmarks/pallas_vs_xla.py, ROOFLINE.md round 4) and the
+        # sampler carries counts so full recomputes only run at init/refresh
+        # — the XLA einsum path is equivalent (tests/test_pallas.py).
+        if use_pallas is None:
+            import os
+
+            use_pallas = os.environ.get("SBAYES_TPU_PALLAS_LOGLH") == "1"
         self.use_pallas = use_pallas
         self._pallas_loglh = None
         if use_pallas:
