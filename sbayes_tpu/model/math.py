@@ -381,6 +381,17 @@ def sample_categorical_onehot(key, p):
     Returns:
         bool (..., n_states) one-hot samples.
     """
-    logits = jnp.log(jnp.maximum(p, 1e-35))
-    idx = jax.random.categorical(key, logits, axis=-1)
-    return jax.nn.one_hot(idx, p.shape[-1], dtype=bool)
+    # Inverse-CDF draw: ONE uniform per categorical cell instead of the
+    # gumbel-max form's C gumbels (jax.random.categorical) — the PRNG u32
+    # bit-mix was the single largest op group in the source-op HLO census
+    # at the headline shape (benchmarks/source_hlo_probe.py, round 5),
+    # and this needs C x fewer bits and no per-lane log. Exactly
+    # categorical(p / p.sum()): u ~ U[0, total) via scaling by the last
+    # cumsum entry (so u < cdf[-1] up to one final-ulp rounding, clamped);
+    # all-zero rows (NA cells) deterministically yield the last category,
+    # which every caller masks out.
+    c = p.shape[-1]
+    cdf = jnp.cumsum(p, axis=-1)
+    u = jax.random.uniform(key, p.shape[:-1], p.dtype) * cdf[..., -1]
+    idx = jnp.minimum((u[..., None] >= cdf).sum(-1), c - 1)
+    return jax.nn.one_hot(idx, c, dtype=bool)
