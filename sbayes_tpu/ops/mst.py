@@ -90,7 +90,13 @@ def cluster_mst_stats_prim(cost, mask):
 
     start = jnp.argmax(mask)
     cand0 = mask & (iota != start)
-    row0 = jax.nn.one_hot(start, n, dtype=dtype) @ cost
+    # precision=HIGHEST: the TPU's default single-pass bf16 matmul would
+    # TRUNCATE the selected cost values to bf16 (the one-hot operand is
+    # exact either way) — measured as totals-match=False vs the gather
+    # engines in benchmarks/mst10k_probe.py. The multi-pass form
+    # reconstructs the f32 row exactly for a 0/1 selector.
+    row0 = jnp.matmul(jax.nn.one_hot(start, n, dtype=dtype), cost,
+                      precision=jax.lax.Precision.HIGHEST)
     d0 = jnp.where(cand0, row0, BIG)
     m_edges = jnp.maximum(mask.sum().astype(jnp.int32) - 1, 0)
 
@@ -108,7 +114,8 @@ def cluster_mst_stats_prim(cost, mask):
         max_e = jnp.maximum(max_e, jnp.where(valid, w, 0.0))
         count = count + valid.astype(jnp.int32)
         cand = cand & (iota != j) & jnp.full((n,), valid)
-        row_j = jax.nn.one_hot(j, n, dtype=dtype) @ cost
+        row_j = jnp.matmul(jax.nn.one_hot(j, n, dtype=dtype), cost,
+                           precision=jax.lax.Precision.HIGHEST)
         d = jnp.where(cand, jnp.minimum(d, row_j), d)
         return cand, d, total, max_e, count, i + 1
 

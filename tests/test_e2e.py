@@ -218,6 +218,26 @@ def test_mc3_run(results_dir):
     assert m.shape == (3, 3)
 
 
+def test_packed_source_cli_run(results_dir, monkeypatch):
+    """Full CLI run with the packed int8 source layout forced on: all
+    results files appear and the logged one-hot views stay well-formed
+    (the loggers consume the unpacked (N, F, C) view regardless of the
+    state layout)."""
+    monkeypatch.setenv("SBAYES_TPU_SOURCE_DTYPE", "idx")
+    out = _run(results_dir, custom={"mcmc": {"steps": 60, "samples": 3}},
+               name="packedcli")
+    for stem in ("stats", "clusters", "operator_stats"):
+        assert (out / f"{stem}_K1_0.txt").exists()
+    import pickle
+
+    # Checkpoints store the layout-independent one-hot view (SampleRecord
+    # unpacks; resume re-packs via runner._load_state_pickle), so a
+    # packed-runtime checkpoint stays portable to bool-runtime resumes.
+    with open(out / "state_K1_0.pickle", "rb") as f:
+        d = pickle.load(f)
+    assert d["source"].dtype == np.bool_ and d["source"].ndim == 3
+
+
 def test_mc3_swap_matrix_saved_only_on_new_attempts(results_dir):
     """The swap-matrix file appears exactly when swap attempts happened
     (reference cadence: mcmc_setup.py:331-335). The round-4 guard compared
