@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import gammaln
 
 
@@ -117,6 +118,57 @@ def _rows_mm(n, f, c):
     if env is not None:
         return env == "1"
     return n * f * c <= _ROWS_MM_MAX_BYTES
+
+
+def compact_indices(mask, size: int, fill: int):
+    """Ascending indices of True in ``mask`` (N,) bool, padded to ``size``
+    with ``fill`` — the output contract of
+    ``jnp.nonzero(mask, size=size, fill_value=fill)[0]``, computed via an
+    argsort instead of nonzero's cumsum+scatter (the vmapped batched
+    scatter is the slow part on TPU: 2.0 vs 1.2 ms/ensemble-step at the
+    wide op's shape; benchmarks/wide_probe.py ``stages``)."""
+    n = mask.shape[0]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.argsort(jnp.where(mask, ar, n + ar))
+    m = mask.sum()
+    return jnp.where(jnp.arange(size) < m, order[:size], fill)
+
+
+def gather_const_rows(mat, idx):
+    """``mat[idx]`` for a 0/1-valued shared constant ``mat`` (N, ...) with
+    per-chain row indices ``idx`` (m,) — one-hot MXU matmul when the whole
+    matrix is small, native (clamping) gather when re-reading all N rows
+    would dominate. Measured at the wide op's shape (m=100, N=100):
+    0.12 vs 1.95 ms/ensemble-step for the vmapped native gather
+    (benchmarks/wide_probe.py ``stages``).
+
+    Exact: one-hot rows carry a single 1, so the f32-accumulated dot
+    returns each 0/1 row bitwise. Out-of-range idx -> all-zero row on the
+    matmul path vs a clamped junk row on the native path; every caller
+    masks padded rows by ``valid``, so the two paths agree at every
+    consumed position. Returns f32 (bool matrices: compare > 0.5)."""
+    n = mat.shape[0]
+    if not _rows_mm(n, int(np.prod(mat.shape[1:])), 1):
+        return mat[idx].astype(jnp.float32)
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)
+    flat = mat.reshape(n, -1).astype(jnp.bfloat16)
+    out = jnp.dot(oh, flat, preferred_element_type=jnp.float32)
+    return out.reshape(*idx.shape, *mat.shape[1:])
+
+
+def gather_cols(mat, idx):
+    """``mat[..., idx]`` for a 0/1-valued ``mat`` (..., N) with (m,) row
+    indices — the minor-axis-gather counterpart of ``gather_const_rows``
+    (same pathology: vmapped batched gathers serialize on TPU; same
+    threshold; exact for 0/1 values, one nonzero per one-hot row).
+    Out-of-range idx -> all-zero column on the matmul path (callers mask
+    padded entries by ``valid``). Returns f32."""
+    n = mat.shape[-1]
+    if not _rows_mm(n, int(np.prod(mat.shape[:-1])), 1):
+        return mat[..., idx].astype(jnp.float32)
+    oh = jax.nn.one_hot(idx, n, dtype=jnp.bfloat16)   # (m, N)
+    return jnp.einsum("...n,mn->...m", mat.astype(jnp.bfloat16), oh,
+                      preferred_element_type=jnp.float32)
 
 
 def gather_rows(src, idx, n_components: int | None = None):

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from sbayes_tpu.model.constants import ModelConstants
 from sbayes_tpu.model.math import (
     conditional_effect_mean,
+    gather_cols,
+    gather_const_rows,
     gather_rows,
     normalize,
     normalize_weights,
@@ -430,7 +432,7 @@ class Conditionals:
         sub = valid.astype(dtype)
 
         # Cluster component: old members of ``i_cluster`` outside the subset.
-        member = state_old.clusters[i_cluster][obj_idx].astype(dtype) * sub  # (m,)
+        member = gather_cols(state_old.clusters[i_cluster], obj_idx).astype(dtype) * sub  # (m,)
         src0 = src_rows_old[:, :, 0].astype(dtype)                           # (m, F)
         excl0 = jnp.einsum("m,mf,mfs->fs", member, src0, feats_m,
                            preferred_element_type=jnp.float32)
@@ -445,7 +447,7 @@ class Conditionals:
                          preferred_element_type=jnp.float32)
 
         # Confounder components: full counts minus the subset contribution.
-        g_m = jnp.asarray(c.groups)[:, :, obj_idx].astype(dtype)             # (C-1, G, m)
+        g_m = gather_cols(jnp.asarray(c.groups), obj_idx).astype(dtype)             # (C-1, G, m)
         srcc = src_rows_old[:, :, 1:].astype(dtype)                          # (m, F, C-1)
         excl = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, srcc, feats_m,
                           preferred_element_type=jnp.float32)
@@ -492,15 +494,15 @@ class Conditionals:
         # resident feature tensor is bf16 (better proposal densities at
         # zero streaming cost; the q-ratio cancellation in the MH step is
         # then f32-tight).
-        feats_m = jnp.asarray(c.features)[obj_idx].astype(jnp.float32)  # (m, F, S)
-        na_m = jnp.asarray(c.na)[obj_idx]                # (m, F)
+        feats_m = gather_const_rows(jnp.asarray(c.features), obj_idx)  # (m, F, S)
+        na_m = gather_const_rows(jnp.asarray(c.na), obj_idx) > 0.5       # (m, F)
         src_rows_old = gather_rows(state_old.source, obj_idx,
                                    self.consts.C)  # (m, F, C)
 
-        hc_conf_m = jnp.asarray(c.hc_conf)[obj_idx]      # (m, C-1)
-        hc0_new = jnp.any(clusters_new[:, obj_idx], axis=0)
+        hc_conf_m = gather_const_rows(jnp.asarray(c.hc_conf), obj_idx) > 0.5  # (m, C-1)
+        hc0_new = jnp.any(gather_cols(clusters_new, obj_idx) > 0.5, axis=0)
         hc_new_m = jnp.concatenate([hc0_new[:, None], hc_conf_m], axis=1)
-        hc0_old = jnp.any(state_old.clusters[:, obj_idx], axis=0)
+        hc0_old = jnp.any(gather_cols(state_old.clusters, obj_idx) > 0.5, axis=0)
         hc_old_m = jnp.concatenate([hc0_old[:, None], hc_conf_m], axis=1)
         hc_back_m = hc_old_m if hc_back_from_old else hc_new_m
 
@@ -615,18 +617,18 @@ class Conditionals:
         dtype = feats_m.dtype
 
         cl_eff = normalize(cl_counts + jnp.asarray(c.conc_cluster)[None], axis=-1)
-        lh0 = jnp.einsum("km,kfs,mfs->mf", clusters[:, obj_idx].astype(dtype),
+        lh0 = jnp.einsum("km,kfs,mfs->mf", gather_cols(clusters, obj_idx).astype(dtype),
                          cl_eff.astype(dtype), feats_m,
                          preferred_element_type=jnp.float32)
-        g_m = jnp.asarray(c.groups)[:, :, obj_idx].astype(dtype)
+        g_m = gather_cols(jnp.asarray(c.groups), obj_idx).astype(dtype)
         conf_eff = normalize(conf_counts + jnp.asarray(c.conc_conf), axis=-1)
         lhc = jnp.einsum("cgm,cgfs,mfs->mfc", g_m, conf_eff.astype(dtype), feats_m,
                          preferred_element_type=jnp.float32)
         lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
         lh = jnp.where(na_m[:, :, None], 1.0, lh)
 
-        hc_conf_m = jnp.asarray(c.hc_conf)[obj_idx]
-        hc0 = jnp.any(clusters[:, obj_idx], axis=0)
+        hc_conf_m = gather_const_rows(jnp.asarray(c.hc_conf), obj_idx) > 0.5
+        hc0 = jnp.any(gather_cols(clusters, obj_idx) > 0.5, axis=0)
         hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
         w = normalize_weights(weights, hc_m)
         sp = lh ** (1.0 / self.T) * w ** (1.0 / self.Tp)
@@ -644,11 +646,11 @@ class Conditionals:
         d0 = (src_new_rows[:, :, 0].astype(dtype)
               - src_old_rows[:, :, 0].astype(dtype))           # (m, F)
         delta_cl = jnp.einsum("km,mf,mfs->kfs",
-                              clusters[:, obj_idx].astype(dtype) * sub[None, :],
+                              gather_cols(clusters, obj_idx).astype(dtype) * sub[None, :],
                               d0, feats_m, preferred_element_type=jnp.float32)
         dc = (src_new_rows[:, :, 1:].astype(dtype)
               - src_old_rows[:, :, 1:].astype(dtype))          # (m, F, C-1)
-        g_m = jnp.asarray(c.groups)[:, :, obj_idx].astype(dtype)
+        g_m = gather_cols(jnp.asarray(c.groups), obj_idx).astype(dtype)
         delta_conf = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, dc, feats_m,
                                 preferred_element_type=jnp.float32)
         return cl_counts + delta_cl, conf_counts + delta_conf
@@ -669,8 +671,8 @@ class Conditionals:
 
         old0 = src_old_rows[:, :, 0].astype(dtype)            # (m, F)
         new0 = src_new_rows[:, :, 0].astype(dtype)
-        mem_old = clusters_old[:, obj_idx].astype(dtype) * sub[None, :]  # (K, m)
-        mem_new = clusters_new[:, obj_idx].astype(dtype) * sub[None, :]
+        mem_old = gather_cols(clusters_old, obj_idx).astype(dtype) * sub[None, :]  # (K, m)
+        mem_new = gather_cols(clusters_new, obj_idx).astype(dtype) * sub[None, :]
         delta_cl = (
             jnp.einsum("km,mf,mfs->kfs", mem_new, new0, feats_m,
                        preferred_element_type=jnp.float32)
@@ -680,7 +682,7 @@ class Conditionals:
 
         dc = (src_new_rows[:, :, 1:].astype(dtype)
               - src_old_rows[:, :, 1:].astype(dtype))          # (m, F, C-1)
-        g_m = jnp.asarray(c.groups)[:, :, obj_idx].astype(dtype)
+        g_m = gather_cols(jnp.asarray(c.groups), obj_idx).astype(dtype)
         delta_conf = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, dc, feats_m,
                                 preferred_element_type=jnp.float32)
         return cl_counts + delta_cl, conf_counts + delta_conf

@@ -25,8 +25,11 @@ from jax import lax
 from jax.scipy.special import betaln
 
 from sbayes_tpu.model.math import (
+    compact_indices,
     conditional_effect_mean,
     dirichlet_categorical_delta,
+    gather_cols,
+    gather_const_rows,
     gather_rows,
     normalize,
     normalize_weights,
@@ -35,7 +38,7 @@ from sbayes_tpu.model.math import (
     source_is_packed,
     source_n_changed,
 )
-from sbayes_tpu.sampling.conditionals import EPS32, Conditionals
+from sbayes_tpu.sampling.conditionals import EPS32, Conditionals, SourceResample
 from sbayes_tpu.sampling.state import ChainState
 
 Q_GIBBS = -jnp.inf
@@ -726,7 +729,15 @@ class OperatorFactory:
                 done2 = done | (p2.sum() > 0.975 * old_size)
                 return p2, done2
 
-            p, _ = lax.fori_loop(0, 10, body, (p, jnp.asarray(False)))
+            # Unrolled (was lax.fori_loop): 10 fixed iterations of tiny
+            # elementwise+reduce ops — straight-line code lets XLA fuse the
+            # whole rescale into a handful of thunks instead of paying the
+            # while-loop per-iteration overhead twice per wide step (this
+            # loop runs in BOTH the forward and backward proposal probs).
+            carry = (p, jnp.asarray(False))
+            for _ in range(10):
+                carry = body(None, carry)
+            p = carry[0]
             return jnp.where(avail, p, 0.0)
 
         return cluster_probs
@@ -833,12 +844,20 @@ class OperatorFactory:
                                 eps: float = None, geo_scaler: float = 2.0,
                                 effect_proposal: str = "gibbs",
                                 em_proposal: bool = False,
-                                n_em_steps: int = 10) -> Callable:
+                                n_em_steps: int = 10,
+                                _probe_skip: tuple = ()) -> Callable:
         """The whole-membership resampling operator. ``em_proposal=True``
         selects the AlterClusterEM proposal probabilities (reference
         operators.py:1571-1665) instead of the collapsed-posterior wide
         probabilities (reference operators.py:1382-1568); the MH/q-ratio
-        machinery is shared, as in the reference's class hierarchy."""
+        machinery is shared, as in the reference's class hierarchy.
+
+        ``_probe_skip`` (benchmarks/wide_probe.py ONLY — every entry
+        breaks MH exactness): cost-attribution ablations — 'back' skips the
+        backward proposal probs, 'src' skips the gathered-rows source
+        resample + count deltas, 'redraw' replaces the redraw-until-changed
+        while_loop with one draw, 'probs' replaces both proposal-probs
+        computations with constant 0.5."""
         cond = self.cond
         consts = self.consts
         K, N = consts.K, consts.N
@@ -861,7 +880,10 @@ class OperatorFactory:
 
             counts = self._state_counts(state)
             state = self._put_counts(state, counts)
-            p = cluster_probs(state, i_cluster, avail, counts)
+            if "probs" in _probe_skip:
+                p = jnp.where(avail, 0.5, 0.0)
+            else:
+                p = cluster_probs(state, i_cluster, avail, counts)
 
             # Redraw until the proposal differs from the current cluster
             def draw(k):
@@ -877,7 +899,11 @@ class OperatorFactory:
                 return k2, draw(k1), n_draws + 1
 
             k1, k2 = jax.random.split(k_draw)
-            _, cluster_draw, _ = lax.while_loop(cond_fn, body_fn, (k2, draw(k1), jnp.int32(1)))
+            if "redraw" in _probe_skip:
+                cluster_draw = draw(k1)
+            else:
+                _, cluster_draw, _ = lax.while_loop(
+                    cond_fn, body_fn, (k2, draw(k1), jnp.int32(1)))
 
             cluster_new = jnp.where(avail, cluster_draw, cluster_old)
             new_size = cluster_new.sum()
@@ -904,20 +930,27 @@ class OperatorFactory:
             # entries are dropped by XLA, so duplicate-index write
             # conflicts with real rows cannot occur; gathers clamp and are
             # masked by ``valid``.
-            obj_idx = jnp.nonzero(changed, size=M, fill_value=N)[0]
+            obj_idx = compact_indices(changed, M, N)
             valid = jnp.arange(M) < m
-            rs = cond.gibbs_resample_source_rows(
-                k_src, state, clusters_new, obj_idx, valid, i_cluster, counts)
-            feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
             src_rows_old = gather_rows(state.source, obj_idx, consts.C)
-            counts_new = cond.delta_counts_rows_move(
-                counts, state.clusters, clusters_new, obj_idx, valid,
-                src_rows_old, rs.new_rows, feats_m)
-            pat_new = self._delta_pat(
-                state.pat_counts, obj_idx, valid,
-                jnp.any(state.clusters[:, obj_idx], axis=0),
-                jnp.any(clusters_new[:, obj_idx], axis=0),
-                src_rows_old, rs.new_rows)
+            if "src" in _probe_skip:
+                zero = jnp.zeros((), jnp.float32)
+                rs = SourceResample(state.source, zero, zero,
+                                    source_prior_delta=zero,
+                                    new_rows=src_rows_old)
+                counts_new, pat_new = counts, state.pat_counts
+            else:
+                rs = cond.gibbs_resample_source_rows(
+                    k_src, state, clusters_new, obj_idx, valid, i_cluster, counts)
+                feats_m = gather_const_rows(jnp.asarray(consts.features), obj_idx)
+                counts_new = cond.delta_counts_rows_move(
+                    counts, state.clusters, clusters_new, obj_idx, valid,
+                    src_rows_old, rs.new_rows, feats_m)
+                pat_new = self._delta_pat(
+                    state.pat_counts, obj_idx, valid,
+                    jnp.any(gather_cols(state.clusters, obj_idx) > 0.5, axis=0),
+                    jnp.any(gather_cols(clusters_new, obj_idx) > 0.5, axis=0),
+                    src_rows_old, rs.new_rows)
             # source stays the OLD buffer: row write deferred to the MH
             # kernel (OpResult.source_rows). The backward cluster_probs
             # below reads only counts/weights/clusters — never source.
@@ -928,7 +961,10 @@ class OperatorFactory:
                     pat_counts=pat_new,
                 ), counts_new)
 
-            p_back = cluster_probs(state_new, i_cluster, avail, counts_new)
+            if "back" in _probe_skip or "probs" in _probe_skip:
+                p_back = p
+            else:
+                p_back = cluster_probs(state_new, i_cluster, avail, counts_new)
             qb_site = jnp.where(cluster_old, p_back, 1.0 - p_back)
             log_q_back = jnp.where(avail, jnp.log(jnp.maximum(qb_site, TINY)), 0.0).sum()
             ssb_site = jnp.where(cluster_new, p_back, 1.0 - p_back)
@@ -1286,11 +1322,11 @@ class OperatorFactory:
             state = self._put_counts(state, counts_old)
             obj_idx, valid = select_subset_idx(k_sel, state)
             # f32 gathered rows: see Conditionals._resample_engine_rows
-            feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
-            na_m = na[obj_idx]
+            feats_m = gather_const_rows(jnp.asarray(consts.features), obj_idx)
+            na_m = gather_const_rows(na, obj_idx) > 0.5
             old_rows = gather_rows(state.source, obj_idx, consts.C)
-            hc_conf_m = jnp.asarray(consts.hc_conf)[obj_idx]
-            hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)
+            hc_conf_m = gather_const_rows(jnp.asarray(consts.hc_conf), obj_idx) > 0.5
+            hc0 = jnp.any(gather_cols(state.clusters, obj_idx) > 0.5, axis=0)
             hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
 
             if self.sample_from_prior:
@@ -1352,18 +1388,18 @@ class OperatorFactory:
             counts_old = self._state_counts(state)
             state = self._put_counts(state, counts_old)
             obj_idx, valid = select_subset_idx(k_sel, state)
-            feats_m = jnp.asarray(consts.features)[obj_idx].astype(jnp.float32)
-            na_m = na[obj_idx]                                  # (m, F)
+            feats_m = gather_const_rows(jnp.asarray(consts.features), obj_idx)
+            na_m = gather_const_rows(na, obj_idx) > 0.5         # (m, F)
             old_rows = gather_rows(state.source, obj_idx, consts.C)  # (m, F, C)
-            hc_conf_m = jnp.asarray(consts.hc_conf)[obj_idx]    # (m, C-1)
-            hc0 = jnp.any(state.clusters[:, obj_idx], axis=0)   # (m,)
+            hc_conf_m = gather_const_rows(jnp.asarray(consts.hc_conf), obj_idx) > 0.5  # (m, C-1)
+            hc0 = jnp.any(gather_cols(state.clusters, obj_idx) > 0.5, axis=0)   # (m,)
             hc_m = jnp.concatenate([hc0[:, None], hc_conf_m], axis=1)
             w_norm = normalize_weights(state.weights, hc_m)     # (m, F, C)
             w_heat = w_norm ** (1.0 / self.Tp)
 
-            k_of = jnp.argmax(state.clusters[:, obj_idx], axis=0)        # (m,)
+            k_of = jnp.argmax(gather_cols(state.clusters, obj_idx), axis=0)        # (m,)
             g_of = jnp.stack([
-                jnp.argmax(jnp.asarray(consts.groups)[c][:, obj_idx], axis=0)
+                jnp.argmax(gather_cols(jnp.asarray(consts.groups)[c], obj_idx), axis=0)
                 for c in range(n_conf)
             ]) if n_conf else jnp.zeros((0, k_cap), jnp.int32)           # (C-1, m)
 
