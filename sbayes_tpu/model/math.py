@@ -126,8 +126,12 @@ def compact_indices(mask, size: int, fill: int):
     ``jnp.nonzero(mask, size=size, fill_value=fill)[0]``, computed via an
     argsort instead of nonzero's cumsum+scatter (the vmapped batched
     scatter is the slow part on TPU: 2.0 vs 1.2 ms/ensemble-step at the
-    wide op's shape; benchmarks/wide_probe.py ``stages``)."""
+    wide op's shape; benchmarks/wide_probe.py ``stages``). Above 4096
+    objects the bitonic sort's log^2(N) passes lose to the scatter, so the
+    nonzero form (the measured state of the 10k-scale benchmarks) stays."""
     n = mask.shape[0]
+    if n > 4096:
+        return jnp.nonzero(mask, size=size, fill_value=fill)[0]
     ar = jnp.arange(n, dtype=jnp.int32)
     order = jnp.argsort(jnp.where(mask, ar, n + ar))
     m = mask.sum()
