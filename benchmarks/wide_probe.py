@@ -217,8 +217,67 @@ def stages():
         print(f"{name:10s}: {scan_stage(fn):6.2f} ms/ensemble-step", flush=True)
 
 
+def srcop():
+    """Production source-op decomposition via its _probe_skip knobs
+    (single-branch chunks of the REAL op incl. the MH kernel — unlike
+    source_ablation_probe's inline clone, which predates the MXU gather
+    helpers)."""
+    from sbayes_tpu.model.posterior import Posterior
+    from sbayes_tpu.sampling.conditionals import Conditionals
+    from sbayes_tpu.sampling.kernel import make_mh_apply_fn
+    from sbayes_tpu.sampling.operators import OperatorFactory, OperatorSpec
+
+    rt = _build_runtime(geo_on=False)
+    states = rt.init_chains(jax.random.PRNGKey(0), N_CHAINS)
+    keys = jax.random.split(jax.random.PRNGKey(1), N_CHAINS)
+
+    def branch_ms(selector, max_size, probe_skip, n_steps=20):
+        def run(consts, keys, states, n_steps):
+            def apply_one(key, state):
+                cond = Conditionals(Posterior(consts, False), 1.0, 1.0)
+                factory = OperatorFactory(cond, p_grow=rt.p_grow)
+                op = factory.make_gibbs_sample_source(
+                    selector, max_size, _probe_skip=probe_skip)
+                spec = OperatorSpec("src_probe", 1.0, op, "source")
+                return make_mh_apply_fn(cond, [spec])(0, key, state)
+
+            vapply = jax.vmap(apply_one)
+
+            def body(carry, _):
+                keys, states = carry
+                split = jax.vmap(jax.random.split)(keys)
+                keys, k_apply = split[:, 0], split[:, 1]
+                new_states, _, _, _ = vapply(k_apply, states)
+                return (keys, new_states), None
+
+            (keys, states), _ = jax.lax.scan(body, (keys, states), length=n_steps)
+            return states
+
+        jitted = jax.jit(run, static_argnums=(3,))
+        jax.block_until_ready(jitted(rt.consts, keys, states, n_steps))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jitted(rt.consts, keys, states, n_steps))
+            best = min(best, (time.perf_counter() - t0) / n_steps)
+        return best * 1e3
+
+    for sel, cap in (("random_subset", 20), ("groups", 30)):
+        for name, skip in [
+            ("full", ()),
+            ("no_sel", ("sel",)),
+            ("no_back", ("back",)),
+            ("no_delta", ("delta",)),
+            ("min", ("sel", "back", "delta")),
+        ]:
+            ms = branch_ms(sel, cap, skip)
+            print(f"{sel:14s} {name:9s}: {ms:6.2f} ms/ensemble-step", flush=True)
+
+
 if __name__ == "__main__":
     if "stages" in sys.argv[1:]:
         stages()
+    elif "srcop" in sys.argv[1:]:
+        srcop()
     else:
         main(tuple(sys.argv[1:]))

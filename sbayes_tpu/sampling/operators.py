@@ -1264,7 +1264,13 @@ class OperatorFactory:
     # Reference: operators.py:423-579
     # ==================================================================
 
-    def make_gibbs_sample_source(self, object_selector: str, max_size: int) -> Callable:
+    def make_gibbs_sample_source(self, object_selector: str, max_size: int,
+                                 _probe_skip: tuple = ()) -> Callable:
+        """``_probe_skip`` (benchmarks/source probes ONLY — entries break
+        sampling correctness): 'sel' replaces the random subset selection
+        with a key-dependent arange offset (dynamic indices, no
+        choice/top_k), 'back' skips the backward posterior pass, 'delta'
+        skips the count/pattern delta updates."""
         cond = self.cond
         consts = self.consts
         N, K = consts.N, consts.K
@@ -1320,7 +1326,12 @@ class OperatorFactory:
             k_sel, k_draw = jax.random.split(key)
             counts_old = self._state_counts(state)
             state = self._put_counts(state, counts_old)
-            obj_idx, valid = select_subset_idx(k_sel, state)
+            if "sel" in _probe_skip:
+                off = jax.random.randint(k_sel, (), 0, N)
+                obj_idx = (jnp.arange(k_cap, dtype=jnp.int32) + off) % N
+                valid = jnp.ones(k_cap, bool)
+            else:
+                obj_idx, valid = select_subset_idx(k_sel, state)
             # f32 gathered rows: see Conditionals._resample_engine_rows
             feats_m = gather_const_rows(jnp.asarray(consts.features), obj_idx)
             na_m = gather_const_rows(na, obj_idx) > 0.5
@@ -1339,17 +1350,20 @@ class OperatorFactory:
             new_rows = jnp.where(valid[:, None, None], x, old_rows)
 
             log_q = cond._rows_logp(p, new_rows, valid, na_m)
-            counts_new = cond.delta_counts_rows(counts_old, state.clusters, obj_idx,
-                                                valid, old_rows, new_rows, feats_m)
-            # clusters unchanged -> patterns unchanged; only rows move
-            pat_new = self._delta_pat(state.pat_counts, obj_idx, valid,
-                                      hc0, hc0, old_rows, new_rows)
+            if "delta" in _probe_skip:
+                counts_new, pat_new = counts_old, state.pat_counts
+            else:
+                counts_new = cond.delta_counts_rows(counts_old, state.clusters, obj_idx,
+                                                    valid, old_rows, new_rows, feats_m)
+                # clusters unchanged -> patterns unchanged; only rows move
+                pat_new = self._delta_pat(state.pat_counts, obj_idx, valid,
+                                          hc0, hc0, old_rows, new_rows)
             # source row write deferred to the MH kernel (source_rows);
             # the backward posterior below reads only counts_new.
             state_new = self._put_counts(
                 state._replace(pat_counts=pat_new), counts_new)
 
-            if self.sample_from_prior:
+            if self.sample_from_prior or "back" in _probe_skip:
                 p_back = p
             else:
                 p_back = cond.source_posterior_rows(state.clusters, state.weights,
