@@ -268,6 +268,7 @@ def srcop():
             ("no_sel", ("sel",)),
             ("no_back", ("back",)),
             ("no_delta", ("delta",)),
+            ("no_pat", ("pat",)),
             ("min", ("sel", "back", "delta")),
         ]:
             ms = branch_ms(sel, cap, skip)

@@ -449,17 +449,45 @@ class Conditionals:
         # Confounder components: full counts minus the subset contribution.
         g_m = gather_cols(jnp.asarray(c.groups), obj_idx).astype(dtype)             # (C-1, G, m)
         srcc = src_rows_old[:, :, 1:].astype(dtype)                          # (m, F, C-1)
-        excl = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, srcc, feats_m,
-                          preferred_element_type=jnp.float32)
-        conf_effect = conditional_effect_mean(
-            prior_counts=jnp.asarray(c.conc_conf),
-            feature_counts=conf_counts - excl,
-            unif_counts=jnp.asarray(c.unif_conc)[None, None],
-            prior_temperature=self.Tp,
-            temperature=self.T,
-        )
-        lhc = jnp.einsum("cgm,cgfs,mfs->mfc", g_m, conf_effect.astype(dtype), feats_m,
-                         preferred_element_type=jnp.float32)
+        import os
+        m_, F, S = feats_m.shape
+        if os.environ.get("SBAYES_TPU_DC_MM", "1") == "1" and feats_m.shape[0] <= 64:
+            # Two-step matmul forms (see delta_counts_rows): integer-exact
+            # exclusion counts via (G x m)@(m x F*S) dots, float effect
+            # gathers via (m x G)@(G x F*S) dots + VPU reduce — avoids the
+            # convolution lowering of the 4-operand einsums.
+            excl_l, lhc_l = [], []
+            for ci in range(c.C - 1):
+                v = (srcc[:, :, ci] * sub[:, None])[:, :, None] * feats_m
+                excl_l.append(jnp.dot(g_m[ci], v.reshape(m_, F * S),
+                                      preferred_element_type=jnp.float32
+                                      ).reshape(-1, F, S))
+            excl = jnp.stack(excl_l, axis=0)
+            conf_effect = conditional_effect_mean(
+                prior_counts=jnp.asarray(c.conc_conf),
+                feature_counts=conf_counts - excl,
+                unif_counts=jnp.asarray(c.unif_conc)[None, None],
+                prior_temperature=self.Tp,
+                temperature=self.T,
+            )
+            for ci in range(c.C - 1):
+                Ec = jnp.dot(g_m[ci].T.astype(dtype),
+                             conf_effect[ci].reshape(-1, F * S).astype(dtype),
+                             preferred_element_type=jnp.float32)
+                lhc_l.append((Ec.reshape(m_, F, S) * feats_m).sum(-1))
+            lhc = jnp.stack(lhc_l, axis=-1)
+        else:
+            excl = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, srcc, feats_m,
+                              preferred_element_type=jnp.float32)
+            conf_effect = conditional_effect_mean(
+                prior_counts=jnp.asarray(c.conc_conf),
+                feature_counts=conf_counts - excl,
+                unif_counts=jnp.asarray(c.unif_conc)[None, None],
+                prior_temperature=self.Tp,
+                temperature=self.T,
+            )
+            lhc = jnp.einsum("cgm,cgfs,mfs->mfc", g_m, conf_effect.astype(dtype),
+                             feats_m, preferred_element_type=jnp.float32)
 
         lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
         lh = jnp.where(na_m[:, :, None], 1.0, lh)
@@ -617,13 +645,31 @@ class Conditionals:
         dtype = feats_m.dtype
 
         cl_eff = normalize(cl_counts + jnp.asarray(c.conc_cluster)[None], axis=-1)
-        lh0 = jnp.einsum("km,kfs,mfs->mf", gather_cols(clusters, obj_idx).astype(dtype),
-                         cl_eff.astype(dtype), feats_m,
-                         preferred_element_type=jnp.float32)
+        mem = gather_cols(clusters, obj_idx).astype(dtype)          # (K, m)
         g_m = gather_cols(jnp.asarray(c.groups), obj_idx).astype(dtype)
         conf_eff = normalize(conf_counts + jnp.asarray(c.conc_conf), axis=-1)
-        lhc = jnp.einsum("cgm,cgfs,mfs->mfc", g_m, conf_eff.astype(dtype), feats_m,
+        import os
+        if os.environ.get("SBAYES_TPU_POST_MM", "1") == "1":
+            # Two-step matmul form (see delta_counts_rows): gather each
+            # row's effect table with one (m x rows)@(rows x F*S) MXU dot,
+            # then a VPU reduce against feats — avoids the convolution
+            # lowering of the 3-operand einsums. Float effects: same math,
+            # different summation association (not bitwise vs einsum).
+            m_, F, S = feats_m.shape
+            E0 = jnp.dot(mem.T, cl_eff.reshape(-1, F * S).astype(dtype),
                          preferred_element_type=jnp.float32)
+            lh0 = (E0.reshape(m_, F, S) * feats_m).sum(-1)
+            lhc_l = []
+            for ci in range(c.C - 1):
+                Ec = jnp.dot(g_m[ci].T, conf_eff[ci].reshape(-1, F * S).astype(dtype),
+                             preferred_element_type=jnp.float32)
+                lhc_l.append((Ec.reshape(m_, F, S) * feats_m).sum(-1))
+            lhc = jnp.stack(lhc_l, axis=-1)
+        else:
+            lh0 = jnp.einsum("km,kfs,mfs->mf", mem, cl_eff.astype(dtype), feats_m,
+                             preferred_element_type=jnp.float32)
+            lhc = jnp.einsum("cgm,cgfs,mfs->mfc", g_m, conf_eff.astype(dtype),
+                             feats_m, preferred_element_type=jnp.float32)
         lh = jnp.concatenate([lh0[:, :, None], lhc], axis=-1)
         lh = jnp.where(na_m[:, :, None], 1.0, lh)
 
@@ -645,14 +691,31 @@ class Conditionals:
 
         d0 = (src_new_rows[:, :, 0].astype(dtype)
               - src_old_rows[:, :, 0].astype(dtype))           # (m, F)
-        delta_cl = jnp.einsum("km,mf,mfs->kfs",
-                              gather_cols(clusters, obj_idx).astype(dtype) * sub[None, :],
-                              d0, feats_m, preferred_element_type=jnp.float32)
+        mem = gather_cols(clusters, obj_idx).astype(dtype) * sub[None, :]
         dc = (src_new_rows[:, :, 1:].astype(dtype)
               - src_old_rows[:, :, 1:].astype(dtype))          # (m, F, C-1)
         g_m = gather_cols(jnp.asarray(c.groups), obj_idx).astype(dtype)
-        delta_conf = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, dc, feats_m,
-                                preferred_element_type=jnp.float32)
+        import os
+        if os.environ.get("SBAYES_TPU_DC_MM", "1") == "1" and feats_m.shape[0] <= 64:
+            # Two-step matmul form: elementwise (m,F,S) product, then one
+            # (rows x m)@(m, F*S) MXU dot per component — avoids XLA's
+            # convolution lowering of the 3/4-operand einsums.
+            m_, F, S = feats_m.shape
+            u = (d0[:, :, None] * feats_m).reshape(m_, F * S)
+            delta_cl = jnp.dot(mem, u, preferred_element_type=jnp.float32
+                               ).reshape(-1, F, S)
+            dconf = []
+            for ci in range(c.C - 1):
+                v = (dc[:, :, ci][:, :, None] * feats_m).reshape(m_, F * S)
+                dconf.append(jnp.dot(g_m[ci] * sub[None, :], v,
+                                     preferred_element_type=jnp.float32
+                                     ).reshape(-1, F, S))
+            delta_conf = jnp.stack(dconf, axis=0)
+        else:
+            delta_cl = jnp.einsum("km,mf,mfs->kfs", mem, d0, feats_m,
+                                  preferred_element_type=jnp.float32)
+            delta_conf = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, dc, feats_m,
+                                    preferred_element_type=jnp.float32)
         return cl_counts + delta_cl, conf_counts + delta_conf
 
     def delta_counts_rows_move(self, counts, clusters_old, clusters_new,
@@ -673,18 +736,35 @@ class Conditionals:
         new0 = src_new_rows[:, :, 0].astype(dtype)
         mem_old = gather_cols(clusters_old, obj_idx).astype(dtype) * sub[None, :]  # (K, m)
         mem_new = gather_cols(clusters_new, obj_idx).astype(dtype) * sub[None, :]
-        delta_cl = (
-            jnp.einsum("km,mf,mfs->kfs", mem_new, new0, feats_m,
-                       preferred_element_type=jnp.float32)
-            - jnp.einsum("km,mf,mfs->kfs", mem_old, old0, feats_m,
-                         preferred_element_type=jnp.float32)
-        )
-
         dc = (src_new_rows[:, :, 1:].astype(dtype)
               - src_old_rows[:, :, 1:].astype(dtype))          # (m, F, C-1)
         g_m = gather_cols(jnp.asarray(c.groups), obj_idx).astype(dtype)
-        delta_conf = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, dc, feats_m,
-                                preferred_element_type=jnp.float32)
+        import os
+        if os.environ.get("SBAYES_TPU_DC_MM", "1") == "1" and feats_m.shape[0] <= 64:
+            # Two-step matmul form (see delta_counts_rows) — integer-exact.
+            m_, F, S = feats_m.shape
+            u_new = (new0[:, :, None] * feats_m).reshape(m_, F * S)
+            u_old = (old0[:, :, None] * feats_m).reshape(m_, F * S)
+            delta_cl = (
+                jnp.dot(mem_new, u_new, preferred_element_type=jnp.float32)
+                - jnp.dot(mem_old, u_old, preferred_element_type=jnp.float32)
+            ).reshape(-1, F, S)
+            dconf = []
+            for ci in range(c.C - 1):
+                v = (dc[:, :, ci][:, :, None] * feats_m).reshape(m_, F * S)
+                dconf.append(jnp.dot(g_m[ci] * sub[None, :], v,
+                                     preferred_element_type=jnp.float32
+                                     ).reshape(-1, F, S))
+            delta_conf = jnp.stack(dconf, axis=0)
+        else:
+            delta_cl = (
+                jnp.einsum("km,mf,mfs->kfs", mem_new, new0, feats_m,
+                           preferred_element_type=jnp.float32)
+                - jnp.einsum("km,mf,mfs->kfs", mem_old, old0, feats_m,
+                             preferred_element_type=jnp.float32)
+            )
+            delta_conf = jnp.einsum("cgm,m,mfc,mfs->cgfs", g_m, sub, dc, feats_m,
+                                    preferred_element_type=jnp.float32)
         return cl_counts + delta_cl, conf_counts + delta_conf
 
     def source_posterior(self, clusters, weights, source, counts=None):

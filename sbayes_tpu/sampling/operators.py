@@ -1356,8 +1356,9 @@ class OperatorFactory:
                 counts_new = cond.delta_counts_rows(counts_old, state.clusters, obj_idx,
                                                     valid, old_rows, new_rows, feats_m)
                 # clusters unchanged -> patterns unchanged; only rows move
-                pat_new = self._delta_pat(state.pat_counts, obj_idx, valid,
-                                          hc0, hc0, old_rows, new_rows)
+                pat_new = (state.pat_counts if "pat" in _probe_skip else
+                           self._delta_pat(state.pat_counts, obj_idx, valid,
+                                           hc0, hc0, old_rows, new_rows))
             # source row write deferred to the MH kernel (source_rows);
             # the backward posterior below reads only counts_new.
             state_new = self._put_counts(
