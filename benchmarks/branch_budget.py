@@ -72,7 +72,13 @@ def _fused_ms_per_step(rt) -> float:
         carry = rt.run_chunk(keys, carry.state, carry.stats, ones, ones, CHUNK_STEPS)
         jax.block_until_ready(carry.state)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / CHUNK_STEPS * 1e3
+    ms = float(np.median(times)) / CHUNK_STEPS * 1e3
+    if ms < 0.1:
+        # A 200-step fused chunk cannot run in <20 ms — a tunnel hiccup
+        # once returned ~0 for a phase (round-5 session 2); fail loudly
+        # instead of recording a nonsense budget entry.
+        raise RuntimeError(f"implausible fused chunk timing {ms:.4f} ms/step")
+    return ms
 
 
 def measure() -> dict:
